@@ -1,0 +1,187 @@
+"""Batched prime-field arithmetic over limb vectors, for JAX/XLA on TPU.
+
+Everything operates on arrays of shape (..., NLIMBS) with dtype uint32, each limb
+holding 16 bits (see limbs.py for the exactness argument). Multiplication uses
+separated-operand Montgomery reduction with R = 2^256:
+
+    T        = a * b                      (schoolbook columns, 32 limbs)
+    m        = (T mod R) * n' mod R       (low half product)
+    result   = (T + m*N) / R              (conditionally minus N)
+
+All loops are unrolled at trace time; per-element work is pure vector (VPU) math, so
+a batch of B field muls lowers to ~3*256 fused uint32 multiply/accumulate lanes over
+the batch dimension. This replaces the reference prover's JS bignum arithmetic inside
+snarkjs (reference: cli/src/utils.ts:69-92) with TPU-vectorizable kernels.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+
+from .bn254 import FQ_MOD, FR_MOD
+from .limbs import NLIMBS, LIMB_BITS, LIMB_MASK, to_limbs, from_limbs
+
+_U32 = jnp.uint32
+
+
+def _mul_columns(a, b, ncols):
+    """Schoolbook product columns of two limb vectors.
+
+    Returns (..., ncols) uint32 where col[k] = sum_{i+j=k} lo(a_i*b_j)
+    + sum_{i+j=k-1} hi(a_i*b_j); every column < 2^21 so uint32 is exact.
+    """
+    p = a[..., :, None] * b[..., None, :]          # (..., L, L) exact in uint32
+    lo = p & LIMB_MASK
+    hi = p >> LIMB_BITS
+    batch_pad = [(0, 0)] * (p.ndim - 2)
+    rows = []
+    for i in range(NLIMBS):
+        right = ncols - NLIMBS - i
+        if right >= 0:
+            rows.append(jnp.pad(lo[..., i, :], batch_pad + [(i, right)]))
+        else:
+            rows.append(jnp.pad(lo[..., i, : ncols - i], batch_pad + [(i, 0)]))
+        right = ncols - NLIMBS - i - 1
+        if right >= 0:
+            rows.append(jnp.pad(hi[..., i, :], batch_pad + [(i + 1, right)]))
+        elif ncols - i - 1 > 0:
+            rows.append(jnp.pad(hi[..., i, : ncols - i - 1], batch_pad + [(i + 1, 0)]))
+    return functools.reduce(jnp.add, rows)
+
+
+def _carry(cols, nout):
+    """Propagate carries over columns; returns ((..., nout) limbs, carry-out)."""
+    c = jnp.zeros(cols.shape[:-1], dtype=_U32)
+    outs = []
+    k = cols.shape[-1]
+    for i in range(nout):
+        v = (cols[..., i] if i < k else jnp.zeros_like(c)) + c
+        outs.append(v & LIMB_MASK)
+        c = v >> LIMB_BITS
+    return jnp.stack(outs, axis=-1), c
+
+
+def _sub_borrow(a, b):
+    """Limbwise a - b; returns (diff mod 2^256 limbs, borrow in {0,1})."""
+    borrow = jnp.zeros(a.shape[:-1], dtype=_U32)
+    outs = []
+    for i in range(a.shape[-1]):
+        v = a[..., i] + jnp.uint32(1 << LIMB_BITS) - b[..., i] - borrow
+        outs.append(v & LIMB_MASK)
+        borrow = jnp.uint32(1) - (v >> LIMB_BITS)
+    return jnp.stack(outs, axis=-1), borrow
+
+
+class FpCtx:
+    """Montgomery arithmetic context for a fixed 254/256-bit prime modulus."""
+
+    def __init__(self, modulus: int):
+        self.modulus = modulus
+        self.R = 1 << (NLIMBS * LIMB_BITS)
+        self.R2 = (self.R * self.R) % modulus
+        # n' = -modulus^{-1} mod R  (full-width for separated REDC)
+        self.nprime = (-pow(modulus, -1, self.R)) % self.R
+        self.n_limbs = jnp.asarray(to_limbs(modulus))
+        self.nprime_limbs = jnp.asarray(to_limbs(self.nprime))
+        self.r2_limbs = jnp.asarray(to_limbs(self.R2))
+        self.one_mont_int = self.R % modulus
+        self.zero_limbs = jnp.asarray(to_limbs(0))
+        self.one_mont = jnp.asarray(to_limbs(self.one_mont_int))
+
+    # -- host-side conversions ------------------------------------------------
+
+    def to_mont_int(self, x: int) -> int:
+        return (x * self.R) % self.modulus
+
+    def from_mont_int(self, x: int) -> int:
+        return (x * pow(self.R, -1, self.modulus)) % self.modulus
+
+    # -- device ops (jnp, batched over leading dims) --------------------------
+
+    def _cond_sub_n(self, r, carry):
+        """r (+ carry*2^256) - N if that is >= 0, else r."""
+        d, borrow = _sub_borrow(r, self.n_limbs)
+        take = jnp.logical_or(carry.astype(bool), borrow == 0)
+        return jnp.where(take[..., None], d, r)
+
+    def add(self, a, b):
+        s, c = _carry(a + b, NLIMBS)
+        return self._cond_sub_n(s, c)
+
+    def sub(self, a, b):
+        d, borrow = _sub_borrow(a, b)
+        n_added, _ = _carry(d + self.n_limbs, NLIMBS)
+        return jnp.where(borrow.astype(bool)[..., None], n_added, d)
+
+    def neg(self, a):
+        """-a mod N (a must be reduced; maps 0 -> 0)."""
+        d, _ = _sub_borrow(self.n_limbs, a)
+        is_zero = jnp.all(a == 0, axis=-1)
+        return jnp.where(is_zero[..., None], a, d)
+
+    def mont_mul(self, a, b):
+        t_cols = _mul_columns(a, b, 2 * NLIMBS)
+        t, _ = _carry(t_cols, 2 * NLIMBS)
+        m_cols = _mul_columns(t[..., :NLIMBS], self.nprime_limbs, NLIMBS)
+        m, _ = _carry(m_cols, NLIMBS)
+        mn_cols = _mul_columns(m, self.n_limbs, 2 * NLIMBS)
+        total, carry = _carry(t + mn_cols, 2 * NLIMBS)
+        return self._cond_sub_n(total[..., NLIMBS:], carry)
+
+    def mont_sqr(self, a):
+        return self.mont_mul(a, a)
+
+    def to_mont(self, a):
+        return self.mont_mul(a, jnp.broadcast_to(self.r2_limbs, a.shape))
+
+    def from_mont(self, a):
+        """Montgomery -> standard form: REDC(a * 1)."""
+        t = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, NLIMBS)])
+        m_cols = _mul_columns(t[..., :NLIMBS], self.nprime_limbs, NLIMBS)
+        m, _ = _carry(m_cols, NLIMBS)
+        mn_cols = _mul_columns(m, self.n_limbs, 2 * NLIMBS)
+        total, carry = _carry(t + mn_cols, 2 * NLIMBS)
+        return self._cond_sub_n(total[..., NLIMBS:], carry)
+
+    def mont_pow(self, a, e: int):
+        """a^e with a in Montgomery form and python-int exponent (static)."""
+        result = jnp.broadcast_to(self.one_mont, a.shape)
+        base = a
+        while e > 0:
+            if e & 1:
+                result = self.mont_mul(result, base)
+            base = self.mont_sqr(base)
+            e >>= 1
+        return result
+
+    def mont_inv(self, a):
+        """Batched inversion via Fermat (a must be nonzero)."""
+        return self.mont_pow(a, self.modulus - 2)
+
+    def is_zero(self, a):
+        return jnp.all(a == 0, axis=-1)
+
+    def eq(self, a, b):
+        return jnp.all(a == b, axis=-1)
+
+    def select(self, cond, a, b):
+        """cond ? a : b, broadcasting cond over the limb axis."""
+        return jnp.where(cond[..., None], a, b)
+
+    # -- host helpers for tests -----------------------------------------------
+
+    def encode(self, xs) -> np.ndarray:
+        """list of python ints -> (N, NLIMBS) Montgomery-form limbs."""
+        return np.stack([to_limbs(self.to_mont_int(x % self.modulus)) for x in xs])
+
+    def decode(self, a) -> list[int]:
+        """(..., NLIMBS) Montgomery-form limbs -> python ints."""
+        arr = np.asarray(a).reshape(-1, NLIMBS)
+        return [self.from_mont_int(from_limbs(row)) for row in arr]
+
+
+FR_CTX = FpCtx(FR_MOD)
+FQ_CTX = FpCtx(FQ_MOD)

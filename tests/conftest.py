@@ -1,0 +1,28 @@
+"""Test configuration: force a virtual 8-device CPU platform so multi-chip sharding
+paths (Mesh/pjit/shard_map) are exercised without TPU hardware."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+# The container's sitecustomize force-registers the remote "axon" TPU platform;
+# override it so unit tests run on the local (8-virtual-device) CPU backend.
+jax.config.update("jax_platforms", "cpu")
+
+import random
+
+import pytest
+
+assert jax.devices()[0].platform == "cpu", jax.devices()
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return random.Random(0xC0FFEE)
