@@ -175,12 +175,16 @@ class FpCtx:
 
     def encode(self, xs) -> np.ndarray:
         """list of python ints -> (N, NLIMBS) Montgomery-form limbs."""
-        return np.stack([to_limbs(self.to_mont_int(x % self.modulus)) for x in xs])
+        from .limbs import batch_to_limbs
+
+        return batch_to_limbs([self.to_mont_int(x % self.modulus) for x in xs])
 
     def decode(self, a) -> list[int]:
         """(..., NLIMBS) Montgomery-form limbs -> python ints."""
-        arr = np.asarray(a).reshape(-1, NLIMBS)
-        return [self.from_mont_int(from_limbs(row)) for row in arr]
+        from .limbs import batch_from_limbs
+
+        rinv = pow(self.R, -1, self.modulus)
+        return [(x * rinv) % self.modulus for x in batch_from_limbs(a)]
 
 
 FR_CTX = FpCtx(FR_MOD)

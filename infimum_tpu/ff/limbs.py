@@ -38,23 +38,22 @@ def from_limbs(a) -> int:
 
 
 def batch_to_limbs(xs, nlimbs: int = NLIMBS) -> np.ndarray:
-    """iterable of ints -> (N, nlimbs) uint32."""
+    """iterable of ints -> (N, nlimbs) uint32 (via little-endian byte packing)."""
     xs = list(xs)
-    out = np.zeros((len(xs), nlimbs), dtype=np.uint32)
-    for n, x in enumerate(xs):
-        for i in range(nlimbs):
-            out[n, i] = (x >> (LIMB_BITS * i)) & LIMB_MASK
-    return out
+    nbytes = nlimbs * LIMB_BITS // 8
+    buf = b"".join(int(x).to_bytes(nbytes, "little") for x in xs)
+    return (
+        np.frombuffer(buf, dtype="<u2").reshape(len(xs), nlimbs).astype(np.uint32)
+    )
 
 
 def batch_from_limbs(a) -> list[int]:
     """(..., nlimbs) -> list of python ints (flattened over leading dims)."""
     a = np.asarray(a)
-    flat = a.reshape(-1, a.shape[-1])
-    out = []
-    for row in flat:
-        x = 0
-        for i in reversed(range(a.shape[-1])):
-            x = (x << LIMB_BITS) | int(row[i])
-        out.append(x)
-    return out
+    flat = np.ascontiguousarray(a.reshape(-1, a.shape[-1]).astype("<u2"))
+    row_bytes = flat.shape[1] * 2
+    buf = flat.tobytes()
+    return [
+        int.from_bytes(buf[i * row_bytes : (i + 1) * row_bytes], "little")
+        for i in range(flat.shape[0])
+    ]
