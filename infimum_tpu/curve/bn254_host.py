@@ -1,0 +1,158 @@
+"""Host (python-int) BN254 G1/G2 group operations.
+
+Ground truth for the device MSM kernels and the building block of the Groth16
+setup/verifier. Matches ark-bn254 semantics (the verifier the reference pallet
+runs, pallet/src/lib.rs:815-827): E: y^2 = x^3 + 3 over Fq; G2 on the D-twist
+y^2 = x^3 + 3/(9+u) over Fq2 with u^2 = -1.
+
+Points are affine tuples (x, y) with None for infinity; Fq2 elements are
+(c0, c1) int tuples.
+"""
+
+from __future__ import annotations
+
+from ..ff.bn254 import FQ_MOD as Q, FR_MOD
+
+# Generators (standard BN254 / alt_bn128 values).
+G1_GEN = (1, 2)
+G2_GEN = (
+    (
+        10857046999023057135944570762232829481370756359578518086990519993285655852781,
+        11559732032986387107991004021392285783925812861821192530917403151452391805634,
+    ),
+    (
+        8495653923123431417604973247489272438418190587263600148770280649306958101930,
+        4082367875863433681332203403145435568316851327593401208105741076214120093531,
+    ),
+)
+
+B1 = 3
+# b2 = 3 / (9 + u)
+def _fq2_inv(a):
+    c0, c1 = a
+    norm = (c0 * c0 + c1 * c1) % Q
+    inv = pow(norm, Q - 2, Q)
+    return (c0 * inv % Q, (-c1) * inv % Q)
+
+
+def _fq2_mul(a, b):
+    a0, a1 = a
+    b0, b1 = b
+    return ((a0 * b0 - a1 * b1) % Q, (a0 * b1 + a1 * b0) % Q)
+
+
+def _fq2_add(a, b):
+    return ((a[0] + b[0]) % Q, (a[1] + b[1]) % Q)
+
+
+def _fq2_sub(a, b):
+    return ((a[0] - b[0]) % Q, (a[1] - b[1]) % Q)
+
+
+def _fq2_neg(a):
+    return ((-a[0]) % Q, (-a[1]) % Q)
+
+
+B2 = _fq2_mul((3, 0), _fq2_inv((9, 1)))
+
+
+class _FqOps:
+    zero = 0
+    one = 1
+
+    @staticmethod
+    def add(a, b):
+        return (a + b) % Q
+
+    @staticmethod
+    def sub(a, b):
+        return (a - b) % Q
+
+    @staticmethod
+    def mul(a, b):
+        return (a * b) % Q
+
+    @staticmethod
+    def neg(a):
+        return (-a) % Q
+
+    @staticmethod
+    def inv(a):
+        return pow(a, Q - 2, Q)
+
+    @staticmethod
+    def eq(a, b):
+        return a % Q == b % Q
+
+
+class _Fq2Ops:
+    zero = (0, 0)
+    one = (1, 0)
+    add = staticmethod(_fq2_add)
+    sub = staticmethod(_fq2_sub)
+    mul = staticmethod(_fq2_mul)
+    neg = staticmethod(_fq2_neg)
+    inv = staticmethod(_fq2_inv)
+
+    @staticmethod
+    def eq(a, b):
+        return a[0] % Q == b[0] % Q and a[1] % Q == b[1] % Q
+
+
+def _make_group(F, b):
+    three = F.add(F.add(F.one, F.one), F.one)
+
+    def is_on_curve(p):
+        if p is None:
+            return True
+        x, y = p
+        return F.eq(F.add(F.mul(F.mul(x, x), x), b), F.mul(y, y))
+
+    def double(p):
+        if p is None:
+            return None
+        x, y = p
+        if F.eq(y, F.zero):
+            return None
+        l = F.mul(F.mul(F.mul(x, x), three), F.inv(F.add(y, y)))
+        nx = F.sub(F.mul(l, l), F.add(x, x))
+        ny = F.sub(F.mul(l, F.sub(x, nx)), y)
+        return (nx, ny)
+
+    def add(p, q):
+        if p is None:
+            return q
+        if q is None:
+            return p
+        x1, y1 = p
+        x2, y2 = q
+        if F.eq(x1, x2):
+            if F.eq(y1, y2):
+                return double(p)
+            return None
+        l = F.mul(F.sub(y2, y1), F.inv(F.sub(x2, x1)))
+        nx = F.sub(F.mul(l, l), F.add(x1, x2))
+        ny = F.sub(F.mul(l, F.sub(x1, nx)), y1)
+        return (nx, ny)
+
+    def neg(p):
+        if p is None:
+            return None
+        return (p[0], F.neg(p[1]))
+
+    def mul(p, n):
+        n = n % FR_MOD if n >= FR_MOD or n < 0 else n
+        result = None
+        addend = p
+        while n:
+            if n & 1:
+                result = add(result, addend)
+            addend = double(addend)
+            n >>= 1
+        return result
+
+    return is_on_curve, double, add, neg, mul
+
+
+g1_is_on_curve, g1_double, g1_add, g1_neg, g1_mul = _make_group(_FqOps, B1)
+g2_is_on_curve, g2_double, g2_add, g2_neg, g2_mul = _make_group(_Fq2Ops, B2)
