@@ -19,6 +19,7 @@ from __future__ import annotations
 import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .bn254 import FQ_MOD, FR_MOD
@@ -27,52 +28,96 @@ from .limbs import NLIMBS, LIMB_BITS, LIMB_MASK, to_limbs, from_limbs
 _U32 = jnp.uint32
 
 
+@functools.lru_cache(maxsize=None)
+def _column_matrix(ncols: int) -> np.ndarray:
+    """(2*L^2, ncols) 0/1 f32 matrix scattering lo/hi half-products to columns.
+
+    Row i*L+j routes lo(a_i*b_j) to column i+j; row L^2+i*L+j routes
+    hi(a_i*b_j) to column i+j+1. Entries beyond ncols are dropped (only used
+    for the mod-R low product where the high columns are discarded anyway).
+    """
+    m = np.zeros((2 * NLIMBS * NLIMBS, ncols), dtype=np.float32)
+    for i in range(NLIMBS):
+        for j in range(NLIMBS):
+            if i + j < ncols:
+                m[i * NLIMBS + j, i + j] = 1.0
+            if i + j + 1 < ncols:
+                m[NLIMBS * NLIMBS + i * NLIMBS + j, i + j + 1] = 1.0
+    return m
+
+
 def _mul_columns(a, b, ncols):
     """Schoolbook product columns of two limb vectors.
 
     Returns (..., ncols) uint32 where col[k] = sum_{i+j=k} lo(a_i*b_j)
     + sum_{i+j=k-1} hi(a_i*b_j); every column < 2^21 so uint32 is exact.
+
+    The scatter-and-sum over half-products is a single f32 matmul: all inputs
+    are < 2^16 and every column accumulates <= 32 of them (< 2^21 < 2^24), so
+    f32 accumulation is exact — and on TPU this lands on the MXU.
     """
     p = a[..., :, None] * b[..., None, :]          # (..., L, L) exact in uint32
-    lo = p & LIMB_MASK
-    hi = p >> LIMB_BITS
-    batch_pad = [(0, 0)] * (p.ndim - 2)
-    rows = []
-    for i in range(NLIMBS):
-        right = ncols - NLIMBS - i
-        if right >= 0:
-            rows.append(jnp.pad(lo[..., i, :], batch_pad + [(i, right)]))
-        else:
-            rows.append(jnp.pad(lo[..., i, : ncols - i], batch_pad + [(i, 0)]))
-        right = ncols - NLIMBS - i - 1
-        if right >= 0:
-            rows.append(jnp.pad(hi[..., i, :], batch_pad + [(i + 1, right)]))
-        elif ncols - i - 1 > 0:
-            rows.append(jnp.pad(hi[..., i, : ncols - i - 1], batch_pad + [(i + 1, 0)]))
-    return functools.reduce(jnp.add, rows)
+    lo = (p & LIMB_MASK).astype(jnp.float32)
+    hi = (p >> LIMB_BITS).astype(jnp.float32)
+    flat = jnp.concatenate(
+        [lo.reshape(*p.shape[:-2], NLIMBS * NLIMBS),
+         hi.reshape(*p.shape[:-2], NLIMBS * NLIMBS)],
+        axis=-1,
+    )
+    cols = jnp.dot(
+        flat, _column_matrix(ncols), preferred_element_type=jnp.float32
+    )
+    return cols.astype(_U32)
 
 
 def _carry(cols, nout):
-    """Propagate carries over columns; returns ((..., nout) limbs, carry-out)."""
-    c = jnp.zeros(cols.shape[:-1], dtype=_U32)
-    outs = []
-    k = cols.shape[-1]
-    for i in range(nout):
-        v = (cols[..., i] if i < k else jnp.zeros_like(c)) + c
-        outs.append(v & LIMB_MASK)
-        c = v >> LIMB_BITS
-    return jnp.stack(outs, axis=-1), c
+    """Propagate carries over columns; returns ((..., nout) limbs, carry-out).
+
+    Parallel carry-lookahead instead of a sequential ripple: one local split
+    pass leaves per-limb values < 2^17, a second split reduces the pending
+    carries to bits, and the remaining ripple (which only travels through
+    limbs equal to 0xFFFF) is resolved with a log-depth generate/propagate
+    associative scan. Total O(log L) tensor ops instead of O(L).
+    """
+    assert cols.shape[-1] == nout
+    zero_col = jnp.zeros_like(cols[..., :1])
+
+    def shift_up(x):
+        return jnp.concatenate([zero_col, x[..., :-1]], axis=-1)
+
+    s = cols & LIMB_MASK
+    c = cols >> LIMB_BITS
+    v = s + shift_up(c)                      # < 2^17
+    a = v & LIMB_MASK
+    b = shift_up(v >> LIMB_BITS)             # bits in {0,1}
+
+    g = ((a + b) >> LIMB_BITS).astype(_U32)              # generate: a+b >= 2^16
+    p = ((a + b) == LIMB_MASK).astype(_U32)              # propagate: a+b == 0xFFFF
+
+    def combine(lo, hi):
+        g1, p1 = lo
+        g2, p2 = hi
+        return (g2 | (p2 & g1), p1 & p2)
+
+    G, _ = jax.lax.associative_scan(combine, (g, p), axis=-1)
+    carry_in = shift_up(G)
+    out = (a + b + carry_in) & LIMB_MASK
+    carry_out = (c[..., -1] + (v[..., -1] >> LIMB_BITS) + G[..., -1]).astype(_U32)
+    return out, carry_out
 
 
 def _sub_borrow(a, b):
-    """Limbwise a - b; returns (diff mod 2^256 limbs, borrow in {0,1})."""
-    borrow = jnp.zeros(a.shape[:-1], dtype=_U32)
-    outs = []
-    for i in range(a.shape[-1]):
-        v = a[..., i] + jnp.uint32(1 << LIMB_BITS) - b[..., i] - borrow
-        outs.append(v & LIMB_MASK)
-        borrow = jnp.uint32(1) - (v >> LIMB_BITS)
-    return jnp.stack(outs, axis=-1), borrow
+    """Limbwise a - b; returns (diff mod 2^256 limbs, borrow in {0,1}).
+
+    Two's-complement addition: a + ~b + 1 via the parallel carry propagator;
+    the borrow is the inverted carry-out."""
+    comp = b ^ jnp.uint32(LIMB_MASK)
+    cols = a + comp
+    one = jnp.concatenate(
+        [jnp.ones_like(cols[..., :1]), jnp.zeros_like(cols[..., 1:])], axis=-1
+    )
+    out, carry = _carry(cols + one, a.shape[-1])
+    return out, jnp.uint32(1) - carry
 
 
 class FpCtx:
