@@ -1,0 +1,99 @@
+"""Headline benchmark: Pippenger MSM throughput (BN254 G1) on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no performance numbers (BASELINE.md: snarkjs proving
+in a single Node.js process, no benchmarks directory, pallet benchmarking
+disabled), so vs_baseline is reported against a documented proxy: snarkjs's
+WASM Pippenger sustains on the order of 5e4 points/sec/core on commodity
+CPUs for BN254 G1 at these sizes. That proxy is recorded here explicitly so
+the comparison is reproducible, not implied.
+
+Env overrides: BENCH_N (default 2^20 on TPU, 2^12 elsewhere), BENCH_LANES,
+BENCH_WINDOW_BITS, BENCH_REPS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import time
+
+import numpy as np
+
+SNARKJS_PROXY_POINTS_PER_SEC = 5e4
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from infimum_tpu.curve.bn254_host import G1_GEN, g1_mul
+    from infimum_tpu.curve.proj import G1_DEV
+    from infimum_tpu.ff.bn254 import FR_MOD
+    from infimum_tpu.ff.limbs import NLIMBS, batch_to_limbs
+    from infimum_tpu.msm.pippenger import (
+        _window_kernel, combine_windows, msm_host,
+    )
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+    n = int(os.environ.get("BENCH_N", str(1 << 20 if on_tpu else 1 << 12)))
+    lanes = int(os.environ.get("BENCH_LANES", str(1024 if on_tpu else 8)))
+    lanes = min(lanes, n)
+    c = int(os.environ.get("BENCH_WINDOW_BITS", "8"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+
+    rng = random.Random(20260817)
+    # MSM cost is independent of point values: tile a small random base set
+    # so host-side generation/verification stays cheap at n = 2^20.
+    nbase = min(256, n)
+    base = [g1_mul(G1_GEN, rng.randrange(1, FR_MOD)) for _ in range(nbase)]
+    base_enc = G1_DEV.encode_affine(base)                      # (nbase, 2, K)
+    scalars = [rng.randrange(0, FR_MOD) for _ in range(n)]
+
+    t = -(-n // lanes)
+    npad = t * lanes
+    pts = np.zeros((npad, 2, *G1_DEV.fshape()), dtype=np.uint32)
+    pts[:n] = np.tile(base_enc, (-(-n // nbase), 1, 1))[:n]
+    sc = np.zeros((npad, NLIMBS), dtype=np.uint32)
+    sc[:n] = batch_to_limbs([s % FR_MOD for s in scalars])
+
+    kernel = _window_kernel("g1", c, lanes, t)
+    dp, ds = jnp.asarray(pts), jnp.asarray(sc)
+
+    wins = jax.block_until_ready(kernel(dp, ds))  # compile + warm
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        wins = jax.block_until_ready(kernel(dp, ds))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+
+    # correctness: tiled points let the host check run on nbase points only
+    agg = [0] * nbase
+    for i, s in enumerate(scalars):
+        agg[i % nbase] = (agg[i % nbase] + s) % FR_MOD
+    want = msm_host(base, agg)
+    got = combine_windows(G1_DEV, wins, c)
+    ok = got == want
+
+    value = n / best
+    print(json.dumps({
+        "metric": f"msm_g1_2^{n.bit_length() - 1}_points_per_sec",
+        "value": round(value, 1),
+        "unit": "points/sec/chip",
+        "vs_baseline": round(value / SNARKJS_PROXY_POINTS_PER_SEC, 3),
+        "n": n, "lanes": lanes, "window_bits": c,
+        "best_ms": round(best * 1e3, 3),
+        "platform": platform,
+        "correct": ok,
+        "baseline_note": "reference publishes no numbers; proxy = 5e4 pts/s snarkjs-WASM",
+    }))
+    if not ok:
+        raise SystemExit("MSM result mismatch vs host reference")
+
+
+if __name__ == "__main__":
+    main()

@@ -156,3 +156,80 @@ def _make_group(F, b):
 
 g1_is_on_curve, g1_double, g1_add, g1_neg, g1_mul = _make_group(_FqOps, B1)
 g2_is_on_curve, g2_double, g2_add, g2_neg, g2_mul = _make_group(_Fq2Ops, B2)
+
+
+# -- Jacobian fast paths (setup/prover host math; no per-op inversions) -------
+
+def _make_jacobian(F, affine_add):
+    """Jacobian double-and-add scalar mul; ~100x faster than the affine ops
+    above for large scalars since it defers the single field inversion."""
+
+    def dbl(p):
+        x, y, z = p
+        if F.eq(y, F.zero):
+            return (F.one, F.one, F.zero)
+        a = F.mul(x, x)
+        b = F.mul(y, y)
+        c = F.mul(b, b)
+        t = F.add(x, b)
+        d = F.sub(F.sub(F.mul(t, t), a), c)
+        d = F.add(d, d)
+        e = F.add(F.add(a, a), a)
+        f = F.mul(e, e)
+        x3 = F.sub(f, F.add(d, d))
+        c8 = F.add(c, c)
+        c8 = F.add(c8, c8)
+        c8 = F.add(c8, c8)
+        y3 = F.sub(F.mul(e, F.sub(d, x3)), c8)
+        z3 = F.mul(F.add(y, y), z)
+        return (x3, y3, z3)
+
+    def add(p, q_aff):
+        """Jacobian p + affine q."""
+        x1, y1, z1 = p
+        if F.eq(z1, F.zero):
+            return (q_aff[0], q_aff[1], F.one)
+        x2, y2 = q_aff
+        z1z1 = F.mul(z1, z1)
+        u2 = F.mul(x2, z1z1)
+        s2 = F.mul(F.mul(y2, z1), z1z1)
+        if F.eq(u2, x1):
+            if F.eq(s2, y1):
+                return dbl(p)
+            return (F.one, F.one, F.zero)
+        h = F.sub(u2, x1)
+        hh = F.mul(h, h)
+        i = F.add(F.add(hh, hh), F.add(hh, hh))
+        j = F.mul(h, i)
+        r = F.sub(s2, y1)
+        r = F.add(r, r)
+        v = F.mul(x1, i)
+        x3 = F.sub(F.sub(F.mul(r, r), j), F.add(v, v))
+        y3 = F.sub(F.mul(r, F.sub(v, x3)), F.add(F.mul(y1, j), F.mul(y1, j)))
+        z3 = F.mul(F.add(z1, z1), h)
+        return (x3, y3, z3)
+
+    def to_affine(p):
+        x, y, z = p
+        if F.eq(z, F.zero):
+            return None
+        zi = F.inv(z)
+        zi2 = F.mul(zi, zi)
+        return (F.mul(x, zi2), F.mul(y, F.mul(zi2, zi)))
+
+    def mul(p_aff, n):
+        if p_aff is None:
+            return None
+        n %= FR_MOD
+        acc = (F.one, F.one, F.zero)
+        for bit in bin(n)[2:]:
+            acc = dbl(acc)
+            if bit == "1":
+                acc = add(acc, p_aff)
+        return to_affine(acc)
+
+    return mul
+
+
+g1_mul_fast = _make_jacobian(_FqOps, g1_add)
+g2_mul_fast = _make_jacobian(_Fq2Ops, g2_add)

@@ -169,11 +169,13 @@ class FpCtx:
 
     def mont_mul(self, a, b):
         t_cols = _mul_columns(a, b, 2 * NLIMBS)
-        t, _ = _carry(t_cols, 2 * NLIMBS)
-        m_cols = _mul_columns(t[..., :NLIMBS], self.nprime_limbs, NLIMBS)
+        # m only needs T mod R normalized; carry the low half alone
+        t_low, _ = _carry(t_cols[..., :NLIMBS], NLIMBS)
+        m_cols = _mul_columns(t_low, self.nprime_limbs, NLIMBS)
         m, _ = _carry(m_cols, NLIMBS)
         mn_cols = _mul_columns(m, self.n_limbs, 2 * NLIMBS)
-        total, carry = _carry(t + mn_cols, 2 * NLIMBS)
+        # columns < 2^21 each, so the sum stays well below 2^32
+        total, carry = _carry(t_cols + mn_cols, 2 * NLIMBS)
         return self._cond_sub_n(total[..., NLIMBS:], carry)
 
     def mont_sqr(self, a):

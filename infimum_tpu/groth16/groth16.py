@@ -1,0 +1,278 @@
+"""Groth16 over BN254: setup, TPU-accelerated prover, pairing verifier.
+
+Replaces the snarkjs engine the reference CLI drives per batch
+(`snarkjs.groth16.fullProve`, reference cli/src/utils.ts:69-92) and the
+arkworks verifier the pallet runs on-chain (pallet/src/lib.rs:815-827):
+
+  - setup(): QAP via Lagrange evaluation at tau (libsnark/arkworks reduction,
+    including the extra public-input rows that make the instance wires'
+    u_i linearly independent — matching ark-groth16's r1cs_to_qap).
+  - prove(): witness dot-products on host, H(x) on a multiplicative coset via
+    the device NTT (Z is constant on the coset), then the four big MSMs on
+    the device Pippenger kernel (msm/pippenger.py) — the three hot loops of
+    SURVEY.md §3.2 moved onto the TPU.
+  - verify(): e(A,B) = e(alpha,beta) e(IC(x),gamma) e(C,delta) via the host
+    pairing (curve/pairing.py), semantics of ark-groth16
+    `verify_with_processed_vk`.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from dataclasses import dataclass
+
+from ..ff.bn254 import FR_MOD, fr_inv
+from ..curve.bn254_host import (
+    G1_GEN, G2_GEN,
+    g1_add, g1_neg, g1_mul_fast,
+    g2_add, g2_mul_fast,
+)
+from ..curve.proj import G1_DEV, G2_DEV
+from ..msm.pippenger import msm_device
+from ..ntt.ntt import _root_of_unity
+from .r1cs import ConstraintSystem, LC
+
+P = FR_MOD
+COSET_GEN = 5  # Fr's standard multiplicative generator (matches arkworks)
+
+
+@dataclass
+class ProvingKey:
+    alpha_g1: tuple
+    beta_g1: tuple
+    beta_g2: tuple
+    delta_g1: tuple
+    delta_g2: tuple
+    a_query: list          # [u_i(tau)]_1, all vars
+    b_g1_query: list       # [v_i(tau)]_1
+    b_g2_query: list       # [v_i(tau)]_2
+    l_query: list          # [(beta u_i + alpha v_i + w_i)/delta]_1, witness vars
+    h_query: list          # [tau^i Z(tau)/delta]_1, i < m-1
+    vk: "VerifyingKey"
+
+
+@dataclass
+class VerifyingKey:
+    alpha_g1: tuple
+    beta_g2: tuple
+    gamma_g2: tuple
+    delta_g2: tuple
+    ic: list               # [(beta u_i + alpha v_i + w_i)/gamma]_1, public vars
+
+
+@dataclass
+class Proof:
+    a: tuple   # G1
+    b: tuple   # G2
+    c: tuple   # G1
+
+
+def _qap_rows(cs: ConstraintSystem):
+    """Constraint rows plus the libsnark public-input rows (var_i, 0, 0)."""
+    rows = list(cs.constraints)
+    for i in range(cs.num_public + 1):
+        rows.append((LC.var(i), LC(), LC()))
+    return rows
+
+
+def _domain_size(cs: ConstraintSystem) -> int:
+    n = len(cs.constraints) + cs.num_public + 1
+    return 1 << (n - 1).bit_length()
+
+
+def setup(cs: ConstraintSystem, rng: random.Random | None = None) -> ProvingKey:
+    rng = rng or random.SystemRandom()
+    tau = rng.randrange(1, P)
+    alpha = rng.randrange(1, P)
+    beta = rng.randrange(1, P)
+    gamma = rng.randrange(1, P)
+    delta = rng.randrange(1, P)
+
+    rows = _qap_rows(cs)
+    m = _domain_size(cs)
+    w = _root_of_unity(m)
+
+    # L_j(tau) = (Z(tau)/m) * w^j / (tau - w^j)
+    z_tau = (pow(tau, m, P) - 1) % P
+    assert z_tau != 0, "tau hit the domain (negligible probability)"
+    zm = z_tau * fr_inv(m) % P
+    lag = []
+    wj = 1
+    denoms = []
+    for _ in range(m):
+        denoms.append((tau - wj) % P)
+        wj = wj * w % P
+    # batch inversion
+    pref = [1] * (m + 1)
+    for i, d in enumerate(denoms):
+        pref[i + 1] = pref[i] * d % P
+    inv_all = fr_inv(pref[m])
+    invs = [0] * m
+    for i in range(m - 1, -1, -1):
+        invs[i] = pref[i] * inv_all % P
+        inv_all = inv_all * denoms[i] % P
+    wj = 1
+    for j in range(m):
+        lag.append(zm * wj % P * invs[j] % P)
+        wj = wj * w % P
+
+    nv = cs.num_vars
+    u = [0] * nv
+    v = [0] * nv
+    wpoly = [0] * nv
+    for j, (a, b, c) in enumerate(rows):
+        lj = lag[j]
+        for i, coeff in a.terms.items():
+            u[i] = (u[i] + coeff * lj) % P
+        for i, coeff in b.terms.items():
+            v[i] = (v[i] + coeff * lj) % P
+        for i, coeff in c.terms.items():
+            wpoly[i] = (wpoly[i] + coeff * lj) % P
+
+    gamma_inv = fr_inv(gamma)
+    delta_inv = fr_inv(delta)
+    npub = cs.num_public + 1
+
+    # every key element is a known scalar times a generator: batch them all
+    # through the device fixed-base kernel (msm/fixed_base.py)
+    from ..msm.fixed_base import fixed_base_mul_batch
+
+    zd = z_tau * delta_inv % P
+    ic_s = [(beta * u[i] + alpha * v[i] + wpoly[i]) % P * gamma_inv % P
+            for i in range(npub)]
+    l_s = [(beta * u[i] + alpha * v[i] + wpoly[i]) % P * delta_inv % P
+           for i in range(npub, nv)]
+    h_s = [pow(tau, i, P) * zd % P for i in range(m - 1)]
+    g1_scalars = ic_s + l_s + u + v + h_s
+    g1_points = fixed_base_mul_batch(g1_scalars, curve=G1_DEV)
+    ic = g1_points[:npub]
+    l_query = g1_points[npub:npub + len(l_s)]
+    off = npub + len(l_s)
+    a_query = g1_points[off:off + nv]
+    b_g1_query = g1_points[off + nv:off + 2 * nv]
+    h_query = g1_points[off + 2 * nv:]
+    b_g2_query = fixed_base_mul_batch(v, curve=G2_DEV)
+
+    vk = VerifyingKey(
+        alpha_g1=g1_mul_fast(G1_GEN, alpha),
+        beta_g2=g2_mul_fast(G2_GEN, beta),
+        gamma_g2=g2_mul_fast(G2_GEN, gamma),
+        delta_g2=g2_mul_fast(G2_GEN, delta),
+        ic=ic,
+    )
+    return ProvingKey(
+        alpha_g1=g1_mul_fast(G1_GEN, alpha),
+        beta_g1=g1_mul_fast(G1_GEN, beta),
+        beta_g2=vk.beta_g2,
+        delta_g1=g1_mul_fast(G1_GEN, delta),
+        delta_g2=vk.delta_g2,
+        a_query=a_query,
+        b_g1_query=b_g1_query,
+        b_g2_query=b_g2_query,
+        l_query=l_query,
+        h_query=h_query,
+        vk=vk,
+    )
+
+
+def _msm(points, scalars, curve=G1_DEV, lanes: int = 8):
+    """Device MSM skipping infinity points / zero scalars; pads to reuse
+    compiled kernel shapes (multiples of 64)."""
+    pairs = [(p, s % P) for p, s in zip(points, scalars) if p is not None and s % P]
+    if not pairs:
+        return None
+    pts, sc = zip(*pairs)
+    pts, sc = list(pts), list(sc)
+    pad = 64 * math.ceil(len(pts) / 64) - len(pts)
+    pts += [pts[0]] * pad
+    sc += [0] * pad
+    return msm_device(pts, sc, c=8, curve=curve, lanes=lanes)
+
+
+def compute_h(cs: ConstraintSystem, witness: list[int]) -> list[int]:
+    """Coefficients of h(x) = (a(x) b(x) - c(x)) / Z(x) via device coset NTT."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ..ff.fp import FR_CTX
+    from ..ff.limbs import batch_to_limbs
+    from ..ntt.ntt import intt_device, coset_ntt_device, coset_intt_device
+
+    rows = _qap_rows(cs)
+    m = _domain_size(cs)
+    logm = m.bit_length() - 1
+
+    a_e = [0] * m
+    b_e = [0] * m
+    c_e = [0] * m
+    for j, (a, b, c) in enumerate(rows):
+        a_e[j] = a.eval(witness)
+        b_e[j] = b.eval(witness)
+        c_e[j] = c.eval(witness)
+
+    def enc(vals):
+        return jnp.asarray(batch_to_limbs([FR_CTX.to_mont_int(x) for x in vals]))
+
+    az = intt_device(enc(a_e), logm)
+    bz = intt_device(enc(b_e), logm)
+    cz = intt_device(enc(c_e), logm)
+    ac = coset_ntt_device(az, logm, COSET_GEN)
+    bc = coset_ntt_device(bz, logm, COSET_GEN)
+    cc = coset_ntt_device(cz, logm, COSET_GEN)
+    prod = FR_CTX.sub(FR_CTX.mont_mul(ac, bc), cc)
+    z_inv = fr_inv((pow(COSET_GEN, m, P) - 1) % P)
+    zi = enc([z_inv])[0]
+    h_evals = FR_CTX.mont_mul(prod, zi[None, :])
+    h = coset_intt_device(h_evals, logm, COSET_GEN)
+    h_ints = FR_CTX.decode(np.asarray(h))
+    assert h_ints[m - 1] == 0, "h has unexpected degree"
+    return h_ints[: m - 1]
+
+
+def prove(pk: ProvingKey, cs: ConstraintSystem, witness: list[int],
+          rng: random.Random | None = None) -> Proof:
+    rng = rng or random.SystemRandom()
+    r = rng.randrange(P)
+    s = rng.randrange(P)
+
+    h = compute_h(cs, witness)
+
+    a_acc = _msm(pk.a_query, witness)
+    b2_acc = _msm(pk.b_g2_query, witness, curve=G2_DEV)
+    b1_acc = _msm(pk.b_g1_query, witness)
+    npub = cs.num_public + 1
+    c_acc = _msm(pk.l_query, witness[npub:])
+    h_acc = _msm(pk.h_query, h)
+
+    # A = alpha + sum + r*delta
+    pi_a = g1_add(g1_add(pk.alpha_g1, a_acc), g1_mul_fast(pk.delta_g1, r))
+    # B = beta + sum + s*delta
+    pi_b = g2_add(g2_add(pk.beta_g2, b2_acc), g2_mul_fast(pk.delta_g2, s))
+    b_g1 = g1_add(g1_add(pk.beta_g1, b1_acc), g1_mul_fast(pk.delta_g1, s))
+    # C = L + H + s*A + r*B1 - r*s*delta
+    pi_c = g1_add(c_acc, h_acc)
+    pi_c = g1_add(pi_c, g1_mul_fast(pi_a, s))
+    pi_c = g1_add(pi_c, g1_mul_fast(b_g1, r))
+    pi_c = g1_add(pi_c, g1_neg(g1_mul_fast(pk.delta_g1, r * s % P)))
+    return Proof(a=pi_a, b=pi_b, c=pi_c)
+
+
+def prepare_inputs(vk: VerifyingKey, public_inputs: list[int]):
+    """IC-combined public input point (ark-groth16 prepare_inputs)."""
+    acc = vk.ic[0]
+    for point, x in zip(vk.ic[1:], public_inputs):
+        acc = g1_add(acc, g1_mul_fast(point, x))
+    return acc
+
+
+def verify(vk: VerifyingKey, proof: Proof, public_inputs: list[int]) -> bool:
+    from ..curve.pairing import multi_pairing_is_one
+
+    ic = prepare_inputs(vk, public_inputs)
+    # e(A, B) e(-alpha, beta) e(-IC, gamma) e(-C, delta) == 1
+    return multi_pairing_is_one([
+        (proof.a, proof.b),
+        (g1_neg(vk.alpha_g1), vk.beta_g2),
+        (g1_neg(ic), vk.gamma_g2),
+        (g1_neg(proof.c), vk.delta_g2),
+    ])

@@ -1,0 +1,184 @@
+"""R1CS constraint system and circuit-builder DSL over BN254 Fr.
+
+The reference gets its constraint systems from circom (circuits/*.circom
+compiled by circom+snarkjs, circuits/README.md:10-33). This framework builds
+them natively: a `ConstraintSystem` holds sparse A/B/C rows over a variable
+vector [1, publics..., witness...], and `LC` (linear combination) gives the
+few algebraic helpers the MACI circuits need. Witness generation is separate
+(witness/): the builder registers per-gate hint functions so a full
+assignment can be computed from the input assignment alone.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..ff.bn254 import FR_MOD
+
+P = FR_MOD
+
+
+class LC:
+    """Sparse linear combination {var_index: coeff} over Fr."""
+
+    __slots__ = ("terms",)
+
+    def __init__(self, terms=None):
+        self.terms = dict(terms or {})
+
+    @staticmethod
+    def const(c: int) -> "LC":
+        c %= P
+        return LC({0: c} if c else {})
+
+    @staticmethod
+    def var(i: int, c: int = 1) -> "LC":
+        c %= P
+        return LC({i: c} if c else {})
+
+    def __add__(self, other):
+        if isinstance(other, int):
+            other = LC.const(other)
+        out = dict(self.terms)
+        for i, c in other.terms.items():
+            nc = (out.get(i, 0) + c) % P
+            if nc:
+                out[i] = nc
+            else:
+                out.pop(i, None)
+        return LC(out)
+
+    def __sub__(self, other):
+        if isinstance(other, int):
+            other = LC.const(other)
+        return self + other.scale(P - 1)
+
+    def scale(self, k: int) -> "LC":
+        k %= P
+        return LC({i: (c * k) % P for i, c in self.terms.items()} if k else {})
+
+    def eval(self, assignment) -> int:
+        return sum(c * assignment[i] for i, c in self.terms.items()) % P
+
+    def is_const(self):
+        return all(i == 0 for i in self.terms)
+
+    @property
+    def const_value(self):
+        return self.terms.get(0, 0)
+
+
+@dataclass
+class ConstraintSystem:
+    """num_vars includes var 0 == 1; publics are vars 1..num_public."""
+
+    num_public: int = 0
+    num_vars: int = 1
+    constraints: list = field(default_factory=list)  # (A, B, C) LC triples
+    hints: list = field(default_factory=list)        # (out_idx, fn, in_lcs)
+
+    # -- building -------------------------------------------------------------
+
+    def alloc_public(self) -> int:
+        assert self.num_vars == self.num_public + 1, \
+            "public inputs must be allocated before witness vars"
+        self.num_public += 1
+        self.num_vars += 1
+        return self.num_vars - 1
+
+    def alloc(self) -> int:
+        self.num_vars += 1
+        return self.num_vars - 1
+
+    def enforce(self, a: LC, b: LC, c: LC):
+        """a * b = c."""
+        self.constraints.append((a, b, c))
+
+    def enforce_zero(self, lc: LC):
+        self.enforce(lc, LC.const(1), LC.const(0))
+
+    # -- gate helpers (allocate + constrain + hint) ---------------------------
+
+    def hint(self, out_idx, fn, in_lcs):
+        """During witnessing, assignment[out_idx] = fn(*[lc.eval(w)])."""
+        self.hints.append((out_idx, fn, list(in_lcs)))
+
+    def mul(self, a: LC, b: LC) -> LC:
+        """Product gate returning a new LC."""
+        if a.is_const():
+            return b.scale(a.const_value)
+        if b.is_const():
+            return a.scale(b.const_value)
+        v = self.alloc()
+        self.enforce(a, b, LC.var(v))
+        self.hint(v, lambda x, y: x * y % P, (a, b))
+        return LC.var(v)
+
+    def square(self, a: LC) -> LC:
+        return self.mul(a, a)
+
+    def assert_bool(self, a: LC):
+        self.enforce(a, a - LC.const(1), LC.const(0))
+
+    def is_zero(self, a: LC) -> LC:
+        """Returns LC of a bit that is 1 iff a == 0 (circomlib IsZero)."""
+        inv = self.alloc()
+        out = self.alloc()
+        self.hint(inv, lambda x: pow(x, P - 2, P) if x else 0, (a,))
+        self.hint(out, lambda x: 0 if x else 1, (a,))
+        out_lc = LC.var(out)
+        # out = -a*inv + 1 ;  a*out = 0
+        self.enforce(a, LC.var(inv), LC.const(1) - out_lc)
+        self.enforce(a, out_lc, LC.const(0))
+        return out_lc
+
+    def num2bits(self, a: LC, nbits: int) -> list[LC]:
+        bits = []
+        acc = LC()
+        for k in range(nbits):
+            v = self.alloc()
+            self.hint(v, (lambda kk: lambda x: (x >> kk) & 1)(k), (a,))
+            b = LC.var(v)
+            self.assert_bool(b)
+            bits.append(b)
+            acc = acc + b.scale(1 << k)
+        self.enforce_zero(acc - a)
+        return bits
+
+    # -- witnessing -----------------------------------------------------------
+
+    def compute_witness(self, inputs: dict[int, int]) -> list[int]:
+        """inputs: {var_index: value} for publics and primary witness vars.
+        Hints run in registration order (builders register in topo order)."""
+        w = [0] * self.num_vars
+        w[0] = 1
+        for i, v in inputs.items():
+            w[i] = v % P
+        for out_idx, fn, in_lcs in self.hints:
+            w[out_idx] = fn(*[lc.eval(w) for lc in in_lcs]) % P
+        return w
+
+    def mark(self, label: str):
+        """Debug marker: label the constraint range that follows."""
+        if not hasattr(self, "marks"):
+            self.marks = []
+        self.marks.append((len(self.constraints), label))
+
+    def first_failure(self, w):
+        """(index, label-of-enclosing-mark) of the first failing constraint."""
+        for i, (a, b, c) in enumerate(self.constraints):
+            if a.eval(w) * b.eval(w) % P != c.eval(w):
+                label = None
+                for pos, lab in getattr(self, "marks", []):
+                    if pos <= i:
+                        label = lab
+                return i, label
+        return None, None
+
+    def check(self, w) -> bool:
+        return all(
+            a.eval(w) * b.eval(w) % P == c.eval(w) for a, b, c in self.constraints
+        )
+
+    def public_values(self, w) -> list[int]:
+        return [w[i] for i in range(1, self.num_public + 1)]

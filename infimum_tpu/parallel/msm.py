@@ -1,0 +1,83 @@
+"""Multi-chip sharded Pippenger MSM over a jax.sharding.Mesh.
+
+The reference prover is single-process (snarkjs in one Node.js worker,
+cli/src/utils.ts:67-94); this is the scale-out design SURVEY.md §2.5 calls
+for: points are sharded across the mesh's data axis, each device runs the
+full window/bucket kernel on its shard (msm/pippenger.py), and the per-device
+window sums — (windows, 3) curve points, a few KB — are combined with an
+`all_gather` over ICI followed by a local tree reduction. EC addition is not
+a `psum`-able monoid for XLA, but the collective payload is tiny, so the
+bucket accumulation (the O(N) part) still scales linearly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..curve.proj import CurveDev, G1_DEV
+from ..msm.pippenger import (
+    window_sums,
+    encode_msm_inputs,
+    combine_windows,
+)
+
+
+def _tree_reduce_axis0(curve: CurveDev, pts):
+    """Reduce (D, ...) projective points over axis 0 (D need not be pow2)."""
+    x, y, z = pts
+    d = x.shape[0]
+    nfdims = len(curve.fshape())
+    batch_rest = x.shape[1 : x.ndim - nfdims]
+    target = 1 << (d - 1).bit_length() if d > 1 else 1
+    if target != d:
+        ix, iy, iz = curve.infinity((target - d, *batch_rest))
+        x = jnp.concatenate([x, ix], axis=0)
+        y = jnp.concatenate([y, iy], axis=0)
+        z = jnp.concatenate([z, iz], axis=0)
+        d = target
+    while d > 1:
+        half = d // 2
+        x, y, z = curve.add((x[:half], y[:half], z[:half]),
+                            (x[half:d], y[half:d], z[half:d]))
+        d = half
+    return (x[0], y[0], z[0])
+
+
+def make_sharded_window_sums(mesh: Mesh, axis: str = "dp",
+                             curve: CurveDev = G1_DEV, c: int = 8,
+                             lanes: int = 8):
+    """Returns a jittable (pts, sc) -> window sums fn sharded over `axis`.
+
+    pts (N, 2, *fshape) and sc (N, NLIMBS) must have N divisible by
+    mesh.shape[axis] * lanes. Output is replicated (W, *fshape) x3.
+    """
+
+    def local(pts_l, sc_l):
+        wins = window_sums(curve, c, lanes, pts_l, sc_l)
+        gathered = jax.lax.all_gather(wins, axis)       # (D, W, *fshape) x3
+        return _tree_reduce_axis0(curve, gathered)      # (W, *fshape) x3
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=P(),
+    )
+
+
+def msm_sharded(points, scalars, mesh: Mesh, axis: str = "dp",
+                curve: CurveDev = G1_DEV, c: int = 8, lanes: int = 8):
+    """Host-level sharded MSM: encode, shard over the mesh, combine on host."""
+    ndev = mesh.shape[axis]
+    pts, sc = encode_msm_inputs(points, scalars, curve, ndev * lanes)
+    fn = jax.jit(make_sharded_window_sums(mesh, axis, curve, c, lanes))
+    sharding = NamedSharding(mesh, P(axis))
+    pts = jax.device_put(jnp.asarray(pts), sharding)
+    sc = jax.device_put(jnp.asarray(sc), sharding)
+    wins = fn(pts, sc)
+    return combine_windows(curve, wins, c)

@@ -16,6 +16,12 @@ import jax
 # override it so unit tests run on the local (8-virtual-device) CPU backend.
 jax.config.update("jax_platforms", "cpu")
 
+# Large unrolled bignum graphs are slow for XLA:CPU to compile; cache them
+# (keyed per machine: see infimum_tpu/utils/jaxcache.py).
+from infimum_tpu.utils.jaxcache import enable_persistent_cache
+
+enable_persistent_cache()
+
 import random
 
 import pytest
