@@ -11,6 +11,8 @@ Points are affine tuples (x, y) with None for infinity; Fq2 elements are
 
 from __future__ import annotations
 
+import functools
+
 from ..ff.bn254 import FQ_MOD as Q, FR_MOD
 
 # Generators (standard BN254 / alt_bn128 values).
@@ -161,8 +163,9 @@ g2_is_on_curve, g2_double, g2_add, g2_neg, g2_mul = _make_group(_Fq2Ops, B2)
 # -- Jacobian fast paths (setup/prover host math; no per-op inversions) -------
 
 def _make_jacobian(F, affine_add):
-    """Jacobian double-and-add scalar mul; ~100x faster than the affine ops
-    above for large scalars since it defers the single field inversion."""
+    """Jacobian group ops: (mul, dbl, add_affine, add_jac, to_affine).
+    ~100x faster than the affine ops above for large scalars since they defer
+    the single field inversion."""
 
     def dbl(p):
         x, y, z = p
@@ -217,6 +220,38 @@ def _make_jacobian(F, affine_add):
         zi2 = F.mul(zi, zi)
         return (F.mul(x, zi2), F.mul(y, F.mul(zi2, zi)))
 
+    def add_jac(p, q):
+        """General Jacobian p + q."""
+        x1, y1, z1 = p
+        x2, y2, z2 = q
+        if F.eq(z1, F.zero):
+            return q
+        if F.eq(z2, F.zero):
+            return p
+        z1z1 = F.mul(z1, z1)
+        z2z2 = F.mul(z2, z2)
+        u1 = F.mul(x1, z2z2)
+        u2 = F.mul(x2, z1z1)
+        s1 = F.mul(F.mul(y1, z2), z2z2)
+        s2 = F.mul(F.mul(y2, z1), z1z1)
+        if F.eq(u1, u2):
+            if F.eq(s1, s2):
+                return dbl(p)
+            return (F.one, F.one, F.zero)
+        h = F.sub(u2, u1)
+        i = F.add(h, h)
+        i = F.mul(i, i)
+        j = F.mul(h, i)
+        r = F.sub(s2, s1)
+        r = F.add(r, r)
+        v = F.mul(u1, i)
+        x3 = F.sub(F.sub(F.mul(r, r), j), F.add(v, v))
+        sj = F.mul(s1, j)
+        y3 = F.sub(F.mul(r, F.sub(v, x3)), F.add(sj, sj))
+        z3 = F.mul(F.sub(F.mul(F.add(z1, z2), F.add(z1, z2)),
+                         F.add(z1z1, z2z2)), h)
+        return (x3, y3, z3)
+
     def mul(p_aff, n):
         if p_aff is None:
             return None
@@ -228,8 +263,94 @@ def _make_jacobian(F, affine_add):
                 acc = add(acc, p_aff)
         return to_affine(acc)
 
-    return mul
+    return mul, dbl, add, add_jac, to_affine
 
 
-g1_mul_fast = _make_jacobian(_FqOps, g1_add)
-g2_mul_fast = _make_jacobian(_Fq2Ops, g2_add)
+(g1_mul_fast, _g1_jdbl, _g1_jadd_aff, _g1_jadd, _g1_to_aff) = \
+    _make_jacobian(_FqOps, g1_add)
+(g2_mul_fast, _g2_jdbl, _g2_jadd_aff, _g2_jadd, _g2_to_aff) = \
+    _make_jacobian(_Fq2Ops, g2_add)
+
+_JAC = {
+    "g1": (_FqOps, _g1_jdbl, _g1_jadd_aff, _g1_jadd, _g1_to_aff),
+    "g2": (_Fq2Ops, _g2_jdbl, _g2_jadd_aff, _g2_jadd, _g2_to_aff),
+}
+
+
+def msm_host_fast(points, scalars, curve: str = "g1", c: int = 8):
+    """Host Pippenger MSM over python ints (Jacobian accumulation).
+
+    The CPU-side prover path for problem sizes below the device threshold —
+    same result as the TPU kernel (msm/pippenger.py), same role as snarkjs's
+    host MSM (reference cli/src/utils.ts:69-92)."""
+    F, jdbl, jadd_aff, jadd, to_aff = _JAC[curve]
+    inf = (F.one, F.one, F.zero)
+    pairs = [(p, s % FR_MOD) for p, s in zip(points, scalars)
+             if p is not None and s % FR_MOD]
+    if not pairs:
+        return None
+    nwin = (254 + c - 1) // c
+    acc = inf
+    for w in range(nwin - 1, -1, -1):
+        if acc != inf:
+            for _ in range(c):
+                acc = jdbl(acc)
+        buckets = [None] * (1 << c)
+        shift = c * w
+        mask = (1 << c) - 1
+        for p, s in pairs:
+            d = (s >> shift) & mask
+            if d:
+                b = buckets[d]
+                buckets[d] = jadd_aff(inf, p) if b is None else jadd_aff(b, p)
+        run = inf
+        tot = inf
+        for d in range(mask, 0, -1):
+            if buckets[d] is not None:
+                run = jadd(run, buckets[d])
+            tot = jadd(tot, run)
+        acc = jadd(acc, tot)
+    return to_aff(acc)
+
+
+def fixed_base_mul_host(scalars, curve: str = "g1", c: int = 8):
+    """Host windowed fixed-base: [s * GEN] for many s, shared 2^c table."""
+    F, jdbl, jadd_aff, jadd, to_aff = _JAC[curve]
+    gen = G1_GEN if curve == "g1" else G2_GEN
+    tab = _fixed_base_table(curve, c)
+    inf = (F.one, F.one, F.zero)
+    mask = (1 << c) - 1
+    out = []
+    for s in scalars:
+        s %= FR_MOD
+        acc = inf
+        w = 0
+        while s:
+            d = s & mask
+            if d:
+                acc = jadd_aff(acc, tab[w][d])
+            s >>= c
+            w += 1
+        out.append(to_aff(acc))
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _fixed_base_table(curve: str, c: int):
+    """tab[w][d] = d * 2^(c*w) * GEN as affine points (d=0 slot unused)."""
+    add = g1_add if curve == "g1" else g2_add
+    dbl = g1_double if curve == "g1" else g2_double
+    gen = G1_GEN if curve == "g1" else G2_GEN
+    nwin = (254 + c - 1) // c
+    tab = []
+    base = gen
+    for _ in range(nwin):
+        row = [None]
+        acc = base
+        for _d in range(1, 1 << c):
+            row.append(acc)
+            acc = add(acc, base)
+        tab.append(row)
+        for _ in range(c):
+            base = dbl(base)
+    return tab

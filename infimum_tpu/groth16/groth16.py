@@ -176,18 +176,29 @@ def setup(cs: ConstraintSystem, rng: random.Random | None = None) -> ProvingKey:
     )
 
 
-def _msm(points, scalars, curve=G1_DEV, lanes: int = 8):
-    """Device MSM skipping infinity points / zero scalars; pads to reuse
-    compiled kernel shapes (multiples of 64)."""
+def _msm(points, scalars, curve=G1_DEV, lanes: int | None = None,
+         host_threshold: int | None = None):
+    """MSM skipping infinity points / zero scalars; pads to reuse compiled
+    kernel shapes (multiples of 64). Inputs below the platform's device
+    threshold run the host Pippenger — compiling a device kernel costs far
+    more than the work at small sizes (utils/backend.py)."""
+    from ..utils.backend import device_threshold, msm_lanes
+    from ..curve.bn254_host import msm_host_fast
+
+    if lanes is None:
+        lanes = msm_lanes()
     pairs = [(p, s % P) for p, s in zip(points, scalars) if p is not None and s % P]
     if not pairs:
         return None
     pts, sc = zip(*pairs)
     pts, sc = list(pts), list(sc)
+    if len(pts) < (host_threshold if host_threshold is not None
+                   else device_threshold()):
+        return msm_host_fast(pts, sc, curve.name)
     pad = 64 * math.ceil(len(pts) / 64) - len(pts)
     pts += [pts[0]] * pad
     sc += [0] * pad
-    return msm_device(pts, sc, c=8, curve=curve, lanes=lanes)
+    return msm_device(pts, sc, curve=curve, lanes=lanes)
 
 
 def compute_h(cs: ConstraintSystem, witness: list[int]) -> list[int]:

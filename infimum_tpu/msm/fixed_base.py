@@ -71,27 +71,39 @@ def _kernel(curve_name: str, c: int, n: int):
         x = curve.F.select(live, pts[:, :, 0], ix)
         y = curve.F.select(live, pts[:, :, 1], iy)
         z = curve.F.select(live, curve.one((n, nwin)), iz)
-        w = nwin
-        while w > 1:
-            half = w // 2
-            left = (x[:, :half], y[:, :half], z[:, :half])
-            right = (x[:, half:w], y[:, half:w], z[:, half:w])
-            x, y, z = curve.add(left, right)
-            w = half
-        return x[:, 0], y[:, 0], z[:, 0]
+        # reduce the W windows with a scan so the complete-add formula is
+        # traced exactly once (an unrolled tree reduce makes XLA:CPU compiles
+        # take minutes; W sequential batched adds cost the same FLOPs)
+        xs = (jnp.moveaxis(x, 1, 0), jnp.moveaxis(y, 1, 0),
+              jnp.moveaxis(z, 1, 0))
+
+        def step(acc, w_pt):
+            return curve.add(acc, w_pt), None
+
+        acc, _ = jax.lax.scan(step, curve.infinity((n,)), xs)
+        return acc
 
     return kernel
 
 
 def fixed_base_mul_batch(scalars, curve: CurveDev = G1_DEV, c: int = 8,
-                         chunk: int = 256):
+                         chunk: int = 256, host_threshold: int | None = None):
     """[s * GEN for s in scalars] as host affine points (None for 0).
 
     Processes in fixed-size chunks so one compiled kernel shape serves every
-    batch size."""
+    batch size. Batches below `host_threshold` run on the host's windowed-
+    table path: compiling the device kernel costs far more than the work
+    (threshold defaults per platform — XLA:CPU compiles of the bignum graphs
+    take minutes on small hosts, so CPU favors the host path much longer)."""
+    from ..utils.backend import device_threshold
+    from ..curve.bn254_host import fixed_base_mul_host
+
     n = len(scalars)
     if n == 0:
         return []
+    if n < (host_threshold if host_threshold is not None
+            else device_threshold()):
+        return fixed_base_mul_host(scalars, curve.name, c)
     npad = chunk * math.ceil(n / chunk)
     sc = np.zeros((npad, NLIMBS), dtype=np.uint32)
     sc[:n] = batch_to_limbs([s % FR_MOD for s in scalars])

@@ -123,17 +123,23 @@ def window_sums(curve: CurveDev, c: int, lanes: int, pts, sc, nwin: int = 0):
         bz = jnp.zeros((nb * L, *fsh), jnp.uint32).at[lin].set(
             ez.reshape(-1, *fsh), mode="drop")
 
-        # tree-reduce lanes: (nb, L) -> (nb,)
+        # tree-reduce lanes: (nb, L) -> (nb,). Fixed-shape masked halving via
+        # fori_loop so the complete-add formula is traced ONCE (an unrolled
+        # log2(L) reduce with shrinking shapes makes XLA:CPU compiles take
+        # minutes); lanes >= stride hold garbage but are masked off.
         bx = bx.reshape(nb, L, *fsh)
         by = by.reshape(nb, L, *fsh)
         bz = bz.reshape(nb, L, *fsh)
-        side = L
-        while side > 1:
-            half = side // 2
-            left = (bx[:, :half], by[:, :half], bz[:, :half])
-            right = (bx[:, half:side], by[:, half:side], bz[:, half:side])
-            bx, by, bz = curve.add(left, right)
-            side = half
+        lane_idx = jnp.arange(L)
+
+        def lane_reduce(j, b):
+            stride = jnp.int32(L) >> (j + 1)
+            rolled = tuple(jnp.roll(a, -stride, axis=1) for a in b)
+            added = curve.add(b, rolled)
+            return curve.select(lane_idx[None, :] < stride, added, b)
+
+        logl = L.bit_length() - 1
+        bx, by, bz = jax.lax.fori_loop(0, logl, lane_reduce, (bx, by, bz))
         buckets = (bx[:, 0], by[:, 0], bz[:, 0])                    # (nb, *fsh)
 
         # weighted sum over k>=1: arr[i] = B_{i+1}, arr[nb-1] = infinity
@@ -181,19 +187,25 @@ def combine_windows(curve: CurveDev, wins, c: int):
     return total
 
 
-def msm_device(points, scalars, c: int = 8, curve: CurveDev = G1_DEV,
-               lanes: int = 256):
+def msm_device(points, scalars, c: int | None = None,
+               curve: CurveDev = G1_DEV, lanes: int = 256):
     """MSM of host affine points and int scalars; returns host affine/None.
 
-    `lanes` bounds the vector width of the accumulation scan.
+    `lanes` bounds the vector width of the accumulation scan. Window width
+    `c` defaults by problem size: the per-window bucket reduction costs
+    O(2^c) EC adds regardless of N, so small problems want small windows.
     """
-    assert LIMB_BITS % c == 0
     n = len(points)
     if n == 0:
         return None
+    if c is None:
+        c = 8 if n >= 4096 else 4
+    assert LIMB_BITS % c == 0
     L = max(1, min(lanes, 1 << (n - 1).bit_length()))
-    pts, sc = encode_msm_inputs(points, scalars, curve, L)
-    T = pts.shape[0] // L
+    # pad the scan length to a power of two: kernel shapes (and their
+    # compile-cache entries) then only vary logarithmically with n
+    T = 1 << (max(1, -(-n // L)) - 1).bit_length()
+    pts, sc = encode_msm_inputs(points, scalars, curve, L * T)
     kernel = _window_kernel(curve.name, c, L, T)
     wins = kernel(jnp.asarray(pts), jnp.asarray(sc))
     return combine_windows(curve, wins, c)

@@ -1,0 +1,36 @@
+"""Host-vs-device dispatch thresholds.
+
+The device kernels win by orders of magnitude at production sizes on TPU, but
+every distinct kernel shape costs an XLA compile — minutes on a small CPU
+host. Small problems therefore run on the host bignum path (same results,
+golden-tested against each other); the crossover is platform-dependent.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+
+@functools.lru_cache(maxsize=1)
+def platform() -> str:
+    import jax
+
+    return jax.devices()[0].platform
+
+
+def device_threshold() -> int:
+    """Minimum MSM/fixed-base size routed to the device kernels."""
+    env = os.environ.get("INFIMUM_DEVICE_THRESHOLD")
+    if env is not None:
+        return int(env)
+    return 128 if platform() == "tpu" else 4096
+
+
+def msm_lanes() -> int:
+    """Vector width for the Pippenger accumulation scan: wide enough to fill
+    the TPU VPU; narrow on CPU where each lane-add is dispatch-bound."""
+    env = os.environ.get("INFIMUM_MSM_LANES")
+    if env is not None:
+        return int(env)
+    return 1024 if platform() == "tpu" else 8

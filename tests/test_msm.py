@@ -45,13 +45,13 @@ def test_msm_matches_host(rng, n):
     scalars = [rng.randrange(0, FR_MOD) for _ in range(n)]
     scalars[0] = 0  # zero-scalar edge
     want = msm_host(points, scalars)
-    got = msm_device(points, scalars, c=8, lanes=8)
+    got = msm_device(points, scalars, lanes=8)
     assert got == want
 
 
 def test_msm_all_zero_scalars():
     points = [G1_GEN, g1_mul(G1_GEN, 2)]
-    assert msm_device(points, [0, 0], c=8, lanes=2) is None
+    assert msm_device(points, [0, 0], lanes=2) is None
 
 
 def test_msm_duplicate_points(rng):
@@ -59,12 +59,12 @@ def test_msm_duplicate_points(rng):
     points = [G1_GEN] * 32
     scalars = [rng.randrange(0, 2**16) for _ in range(32)]
     want = g1_mul(G1_GEN, sum(scalars) % FR_MOD)
-    assert msm_device(points, scalars, c=8, lanes=4) == want
+    assert msm_device(points, scalars, lanes=4) == want
 
 
 def test_msm_g2_matches_host(rng):
-    # routed through the prover's padded helper so the kernel shape (and its
-    # compile cache entry) is exactly the one groth16.prove uses
+    # the prover's helper routes small inputs to the host Pippenger
+    # (utils/backend.py thresholds); check it against the naive host sum
     from infimum_tpu.groth16.groth16 import _msm
     from infimum_tpu.curve.bn254_host import g2_mul_fast
 
@@ -76,3 +76,21 @@ def test_msm_g2_matches_host(rng):
         acc = g2_add(acc, g2_mul_fast(p, s))
     got = _msm(points, scalars, curve=G2_DEV)
     assert got == acc
+
+
+def test_host_pippenger_and_fixed_base(rng):
+    from infimum_tpu.curve.bn254_host import (
+        msm_host_fast, fixed_base_mul_host, g2_mul_fast,
+    )
+
+    n = 24
+    points = [g1_mul(G1_GEN, rng.randrange(1, FR_MOD)) for _ in range(n)]
+    scalars = [rng.randrange(0, FR_MOD) for _ in range(n)]
+    scalars[3] = 0
+    assert msm_host_fast(points, scalars) == msm_host(points, scalars)
+    assert msm_host_fast(points, [0] * n) is None
+    sc = [0, 1, 2, rng.randrange(FR_MOD)]
+    assert fixed_base_mul_host(sc) == [
+        None if s == 0 else g1_mul(G1_GEN, s) for s in sc]
+    assert fixed_base_mul_host(sc, "g2") == [
+        None if s == 0 else g2_mul_fast(G2_GEN, s) for s in sc]
