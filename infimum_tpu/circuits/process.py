@@ -44,12 +44,14 @@ class ProcessCircuit:
     msg_tree_depth: int = 2
     msg_batch_depth: int = 1
     vote_option_tree_depth: int = 2
+    build: bool = True  # False: dims-only (witness building without the CS)
 
     def __post_init__(self):
         assert self.msg_tree_depth >= self.msg_batch_depth > 0
         self.batch_size = 5 ** self.msg_batch_depth
         self.num_vote_options = 5 ** self.vote_option_tree_depth
-        self._build()
+        if self.build:
+            self._build()
 
     def _alloc_grid(self, cs, *dims):
         if len(dims) == 1:

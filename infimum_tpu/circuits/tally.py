@@ -36,6 +36,7 @@ class TallyCircuit:
     state_tree_depth: int = 10
     int_state_tree_depth: int = 1
     vote_option_tree_depth: int = 2
+    build: bool = True  # False: dims-only (witness building without the CS)
 
     def __post_init__(self):
         assert 0 < self.int_state_tree_depth < self.state_tree_depth
@@ -43,7 +44,8 @@ class TallyCircuit:
         self.batch_size = 2 ** self.int_state_tree_depth
         self.num_vote_options = 5 ** self.vote_option_tree_depth
         self.k = self.state_tree_depth - self.int_state_tree_depth
-        self._build()
+        if self.build:
+            self._build()
 
     def _build(self):
         cs = ConstraintSystem()

@@ -72,7 +72,10 @@ class TallyWitnessBuilder:
 
     @property
     def num_batches(self) -> int:
-        n = max(1, self.num_signups + 1)
+        """ceil(num_signups / batch) with num_signups counting the blank
+        leaf, i.e. pallet count+1 — identical to the pallet's expected_tally
+        = 1 + count // batch (provider.rs:323-324)."""
+        n = max(1, self.num_signups)
         return -(-n // self.c.batch_size)
 
     def batch_inputs(self, rng) -> tuple[dict, dict]:
