@@ -1,0 +1,131 @@
+// C ABI for the native library (consumed via ctypes from
+// infimum_tpu/native). All field scalars cross the boundary as 32-byte
+// big-endian (the pallet HashBytes convention); points as arkworks
+// uncompressed bytes (G1 64B, G2 128B).
+#include <cstring>
+#include <vector>
+
+#include "imt.h"
+#include "pairing.h"
+#include "poseidon.h"
+#include "serde.h"
+
+using namespace inf;
+
+extern "C" {
+
+// ---- poseidon -------------------------------------------------------------
+
+// inputs: n contiguous 32-byte BE field elements; out: 32 bytes BE.
+// returns 0 on success, nonzero on bad arity.
+int inf_poseidon(const uint8_t* inputs, int n, uint8_t* out) {
+  if (n < 1 || n > POSEIDON_MAX_WIDTH - 1) return 1;
+  std::vector<U256> in(n);
+  for (int i = 0; i < n; ++i) {
+    in[i] = from_be32(inputs + 32 * i);
+    if (cmp(in[i], FR().mod) >= 0) return 2;
+  }
+  to_be32(poseidon_hash(in.data(), n), out);
+  return 0;
+}
+
+// batched 2-input hash: pairs (2n x 32B) -> n x 32B
+int inf_poseidon2_batch(const uint8_t* inputs, int n, uint8_t* out) {
+  for (int i = 0; i < n; ++i) {
+    U256 in[2] = {from_be32(inputs + 64 * i), from_be32(inputs + 64 * i + 32)};
+    to_be32(poseidon_hash(in, 2), out + 32 * i);
+  }
+  return 0;
+}
+
+// ---- amortized IMT --------------------------------------------------------
+
+void* inf_imt_new(int arity, int full_depth, int zero_seed) {
+  return new AmortizedIMT(arity, full_depth, zero_seed != 0);
+}
+
+void inf_imt_free(void* t) { delete static_cast<AmortizedIMT*>(t); }
+
+int inf_imt_insert(void* t, const uint8_t* leaf_be32) {
+  return static_cast<AmortizedIMT*>(t)->insert(from_be32(leaf_be32));
+}
+
+int inf_imt_merge(void* t, int to_depth) {
+  return static_cast<AmortizedIMT*>(t)->merge(to_depth != 0);
+}
+
+// returns 1 if root set (written to out), 0 otherwise
+int inf_imt_root(void* t, uint8_t* out_be32) {
+  auto* imt = static_cast<AmortizedIMT*>(t);
+  if (!imt->root) return 0;
+  to_be32(*imt->root, out_be32);
+  return 1;
+}
+
+int inf_imt_depth(void* t) { return static_cast<AmortizedIMT*>(t)->depth; }
+uint64_t inf_imt_count(void* t) { return static_cast<AmortizedIMT*>(t)->count; }
+
+int inf_merkle_zero(int arity, int depth, uint8_t* out_be32) {
+  if (depth < 0 || depth >= 33) return 1;
+  to_be32(merkle_zeros(arity)[depth], out_be32);
+  return 0;
+}
+
+// ---- serde ----------------------------------------------------------------
+
+// validate+roundtrip: returns 0 ok, nonzero = malformed
+int inf_g1_validate(const uint8_t* b) {
+  G1 p;
+  return deserialize_g1(b, &p) ? 0 : 1;
+}
+
+int inf_g2_validate(const uint8_t* b) {
+  G2 p;
+  return deserialize_g2(b, &p) ? 0 : 1;
+}
+
+int inf_g1_roundtrip(const uint8_t* in, uint8_t* out) {
+  G1 p;
+  if (!deserialize_g1(in, &p)) return 1;
+  serialize_g1(p, out);
+  return 0;
+}
+
+int inf_g2_roundtrip(const uint8_t* in, uint8_t* out) {
+  G2 p;
+  if (!deserialize_g2(in, &p)) return 1;
+  serialize_g2(p, out);
+  return 0;
+}
+
+// ---- groth16 verify -------------------------------------------------------
+
+// vk: alpha(64) beta(128) gamma(128) delta(128) ic(n_ic*64)
+// proof: a(64) b(128) c(64); publics: n_pub * 32B BE Fr.
+// returns 1 = valid, 0 = invalid, negative = malformed input.
+int inf_groth16_verify(const uint8_t* vk_alpha, const uint8_t* vk_beta,
+                       const uint8_t* vk_gamma, const uint8_t* vk_delta,
+                       const uint8_t* vk_ic, int n_ic, const uint8_t* proof_a,
+                       const uint8_t* proof_b, const uint8_t* proof_c,
+                       const uint8_t* publics, int n_pub) {
+  VerifyingKey vk;
+  Proof pr;
+  if (!deserialize_g1(vk_alpha, &vk.alpha_g1)) return -1;
+  if (!deserialize_g2(vk_beta, &vk.beta_g2)) return -1;
+  if (!deserialize_g2(vk_gamma, &vk.gamma_g2)) return -1;
+  if (!deserialize_g2(vk_delta, &vk.delta_g2)) return -1;
+  vk.ic.resize(n_ic);
+  for (int i = 0; i < n_ic; ++i)
+    if (!deserialize_g1(vk_ic + 64 * i, &vk.ic[i])) return -1;
+  if (!deserialize_g1(proof_a, &pr.a)) return -2;
+  if (!deserialize_g2(proof_b, &pr.b)) return -2;
+  if (!deserialize_g1(proof_c, &pr.c)) return -2;
+  std::vector<U256> pub(n_pub);
+  for (int i = 0; i < n_pub; ++i) {
+    pub[i] = from_be32(publics + 32 * i);
+    if (cmp(pub[i], FR().mod) >= 0) return -3;
+  }
+  return groth16_verify(vk, pr, pub) ? 1 : 0;
+}
+
+}  // extern "C"
