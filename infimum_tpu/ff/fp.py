@@ -55,6 +55,11 @@ def _mul_columns(a, b, ncols):
     The scatter-and-sum over half-products is a single f32 matmul: all inputs
     are < 2^16 and every column accumulates <= 32 of them (< 2^21 < 2^24), so
     f32 accumulation is exact — and on TPU this lands on the MXU.
+
+    Precision=HIGHEST is load-bearing: on TPU the MXU lowers f32 matmuls to
+    bf16 passes by default (~8 mantissa bits), which silently destroys the
+    integers. HIGHEST forces the multi-pass f32-exact lowering (verified
+    bit-exact against python ints on a real v5e chip).
     """
     p = a[..., :, None] * b[..., None, :]          # (..., L, L) exact in uint32
     lo = (p & LIMB_MASK).astype(jnp.float32)
@@ -65,7 +70,8 @@ def _mul_columns(a, b, ncols):
         axis=-1,
     )
     cols = jnp.dot(
-        flat, _column_matrix(ncols), preferred_element_type=jnp.float32
+        flat, _column_matrix(ncols), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return cols.astype(_U32)
 

@@ -124,6 +124,9 @@ class FpCtxT:
             jnp.asarray(m), flat,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            # HIGHEST is load-bearing: default TPU f32 matmul is bf16 passes,
+            # which breaks the <2^21 integer-exactness contract (ff/fp.py).
+            precision=jax.lax.Precision.HIGHEST,
         )
         return cols.astype(_U32)
 

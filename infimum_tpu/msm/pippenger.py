@@ -106,7 +106,13 @@ def window_sums(curve: CurveDev, c: int, lanes: int, pts, sc, nwin: int = 0):
             emit_dig = jnp.where(same, jnp.full_like(adig, nb), adig)
             return (*nxt, d), (emit_dig, ax, ay, az)
 
-        init = (*curve.infinity((L,)), jnp.full((L,), nb, _I32))
+        # init carry derived from the (possibly device-varying) inputs rather
+        # than fresh constants: under shard_map, a constant init would be
+        # unvarying while the scan's carry output is varying over the mesh
+        # axis, which jax rejects (carry types must match exactly).
+        zf = spts[0, :, 0] * 0                      # varying zeros, (L, *fsh)
+        init = (zf, zf + curve.one((L,)), zf,
+                sdig[0] * 0 + jnp.int32(nb))
         (fx, fy, fz, fdig), (edig, ex, ey, ez) = jax.lax.scan(
             step, init, (spts, sdig)
         )

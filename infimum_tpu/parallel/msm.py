@@ -61,13 +61,22 @@ def make_sharded_window_sums(mesh: Mesh, axis: str = "dp",
     def local(pts_l, sc_l):
         wins = window_sums(curve, c, lanes, pts_l, sc_l)
         gathered = jax.lax.all_gather(wins, axis)       # (D, W, *fshape) x3
-        return _tree_reduce_axis0(curve, gathered)      # (W, *fshape) x3
+        red = _tree_reduce_axis0(curve, gathered)       # (W, *fshape) x3
+        # every device holds the identical reduction, but the vma system
+        # cannot *infer* replication through all_gather + EC adds, so return
+        # a per-device leading axis and slice shard 0 outside the shard_map
+        return tuple(comp[None] for comp in red)
 
-    return shard_map(
+    sm = shard_map(
         local, mesh=mesh,
         in_specs=(P(axis), P(axis)),
-        out_specs=P(),
+        out_specs=P(axis),
     )
+
+    def fn(pts, sc):
+        return tuple(comp[0] for comp in sm(pts, sc))
+
+    return fn
 
 
 def msm_sharded(points, scalars, mesh: Mesh, axis: str = "dp",
