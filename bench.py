@@ -9,8 +9,15 @@ WASM Pippenger sustains on the order of 5e4 points/sec/core on commodity
 CPUs for BN254 G1 at these sizes. That proxy is recorded here explicitly so
 the comparison is reproducible, not implied.
 
+Correctness gates the metric: the kernel result is checked against the host
+bignum Pippenger BEFORE timing is reported; on mismatch the process exits
+nonzero without printing a throughput line.
+
+On TPU the Pallas pipeline (msm/pallas_msm.py) runs; elsewhere the XLA
+kernel (msm/pippenger.py) at a reduced size.
+
 Env overrides: BENCH_N (default 2^20 on TPU, 2^12 elsewhere), BENCH_LANES,
-BENCH_WINDOW_BITS, BENCH_REPS.
+BENCH_REPS.
 """
 
 from __future__ import annotations
@@ -25,6 +32,12 @@ import numpy as np
 SNARKJS_PROXY_POINTS_PER_SEC = 5e4
 
 
+def _force(x):
+    """Force device execution (block_until_ready is unreliable through the
+    tunneled platform; a host readback is the only hard sync)."""
+    return np.asarray(x)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -33,16 +46,13 @@ def main():
     from infimum_tpu.curve.proj import G1_DEV
     from infimum_tpu.ff.bn254 import FR_MOD
     from infimum_tpu.ff.limbs import NLIMBS, batch_to_limbs
-    from infimum_tpu.msm.pippenger import (
-        _window_kernel, combine_windows, msm_host,
-    )
+    from infimum_tpu.msm.pippenger import msm_host
 
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
     n = int(os.environ.get("BENCH_N", str(1 << 20 if on_tpu else 1 << 12)))
     lanes = int(os.environ.get("BENCH_LANES", str(1024 if on_tpu else 8)))
     lanes = min(lanes, n)
-    c = int(os.environ.get("BENCH_WINDOW_BITS", "8"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
 
     rng = random.Random(20260817)
@@ -50,34 +60,65 @@ def main():
     # so host-side generation/verification stays cheap at n = 2^20.
     nbase = min(256, n)
     base = [g1_mul(G1_GEN, rng.randrange(1, FR_MOD)) for _ in range(nbase)]
-    base_enc = G1_DEV.encode_affine(base)                      # (nbase, 2, K)
+    base_rows = G1_DEV.encode_affine(base).reshape(nbase, 2 * NLIMBS)
     scalars = [rng.randrange(0, FR_MOD) for _ in range(n)]
 
-    t = -(-n // lanes)
-    npad = t * lanes
-    pts = np.zeros((npad, 2, *G1_DEV.fshape()), dtype=np.uint32)
-    pts[:n] = np.tile(base_enc, (-(-n // nbase), 1, 1))[:n]
-    sc = np.zeros((npad, NLIMBS), dtype=np.uint32)
-    sc[:n] = batch_to_limbs([s % FR_MOD for s in scalars])
+    if on_tpu:
+        from infimum_tpu.msm.pallas_msm import (
+            _msm_fn, combine_window_points, N_WINDOWS,
+        )
 
-    kernel = _window_kernel("g1", c, lanes, t)
-    dp, ds = jnp.asarray(pts), jnp.asarray(sc)
+        t = -(-n // lanes)
+        npad = t * lanes
+        rows = np.zeros((npad, 2 * NLIMBS), dtype=np.uint32)
+        rows[:n] = np.tile(base_rows, (-(-n // nbase), 1))[:n]
+        sc = np.zeros((npad, NLIMBS), dtype=np.uint32)
+        sc[:n] = batch_to_limbs(scalars)
+        fn = _msm_fn(t, lanes // 8, N_WINDOWS, False)
+        dr, ds = jnp.asarray(rows), jnp.asarray(sc)
+        wins = _force(fn(dr, ds))          # compile + warm
+        run = lambda: _force(fn(dr, ds))
+        decode = combine_window_points
+        kernel_name = "pallas"
+        c = 8
+    else:
+        from infimum_tpu.msm.pippenger import _window_kernel, combine_windows
 
-    wins = jax.block_until_ready(kernel(dp, ds))  # compile + warm
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        wins = jax.block_until_ready(kernel(dp, ds))
-        times.append(time.perf_counter() - t0)
-    best = min(times)
+        c = int(os.environ.get("BENCH_WINDOW_BITS", "8"))
+        t = -(-n // lanes)
+        npad = t * lanes
+        pts = np.zeros((npad, 2, *G1_DEV.fshape()), dtype=np.uint32)
+        pts[:n] = np.tile(
+            base_rows.reshape(nbase, 2, NLIMBS), (-(-n // nbase), 1, 1))[:n]
+        sc = np.zeros((npad, NLIMBS), dtype=np.uint32)
+        sc[:n] = batch_to_limbs(scalars)
+        kernel = _window_kernel("g1", c, lanes, t)
+        dp, ds = jnp.asarray(pts), jnp.asarray(sc)
+        wins0 = kernel(dp, ds)
+        _force(wins0[0])
+        run = lambda: kernel(dp, ds)
+        decode = lambda w: combine_windows(G1_DEV, w, c)
+        kernel_name = "xla"
 
-    # correctness: tiled points let the host check run on nbase points only
+    # correctness FIRST: tiled points let the host check use nbase points
     agg = [0] * nbase
     for i, s in enumerate(scalars):
         agg[i % nbase] = (agg[i % nbase] + s) % FR_MOD
     want = msm_host(base, agg)
-    got = combine_windows(G1_DEV, wins, c)
-    ok = got == want
+    got = decode(run())
+    if got != want:
+        raise SystemExit(
+            "MSM result mismatch vs host reference - refusing to report "
+            "a throughput number for an incorrect kernel")
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = run()
+        if kernel_name == "xla":
+            _force(out[0])
+        times.append(time.perf_counter() - t0)
+    best = min(times)
 
     value = n / best
     print(json.dumps({
@@ -87,12 +128,10 @@ def main():
         "vs_baseline": round(value / SNARKJS_PROXY_POINTS_PER_SEC, 3),
         "n": n, "lanes": lanes, "window_bits": c,
         "best_ms": round(best * 1e3, 3),
-        "platform": platform,
-        "correct": ok,
+        "platform": platform, "kernel": kernel_name,
+        "correct": True,
         "baseline_note": "reference publishes no numbers; proxy = 5e4 pts/s snarkjs-WASM",
     }))
-    if not ok:
-        raise SystemExit("MSM result mismatch vs host reference")
 
 
 if __name__ == "__main__":

@@ -201,32 +201,41 @@ def _msm(points, scalars, curve=G1_DEV, lanes: int | None = None,
     return msm_device(pts, sc, curve=curve, lanes=lanes)
 
 
+def _sparse_rows(cs: ConstraintSystem):
+    """Cached flattened A/B/C triples (incl. public rows) for device eval."""
+    from .rowval import SparseRows
+
+    cached = getattr(cs, "_sparse_rows_cache", None)
+    if cached is None:
+        rows = _qap_rows(cs)
+        cached = SparseRows(rows, len(rows))
+        cs._sparse_rows_cache = cached
+    return cached
+
+
 def compute_h(cs: ConstraintSystem, witness: list[int]) -> list[int]:
-    """Coefficients of h(x) = (a(x) b(x) - c(x)) / Z(x) via device coset NTT."""
+    """Coefficients of h(x) = (a(x) b(x) - c(x)) / Z(x) via device coset NTT.
+
+    Row evaluation (a|_H, b|_H, c|_H) runs on the device as batched sparse
+    matvecs (groth16/rowval.py) instead of per-term Python bigints."""
     import numpy as np
     import jax.numpy as jnp
     from ..ff.fp import FR_CTX
     from ..ff.limbs import batch_to_limbs
     from ..ntt.ntt import intt_device, coset_ntt_device, coset_intt_device
+    from .rowval import eval_rows_device
 
-    rows = _qap_rows(cs)
     m = _domain_size(cs)
     logm = m.bit_length() - 1
 
-    a_e = [0] * m
-    b_e = [0] * m
-    c_e = [0] * m
-    for j, (a, b, c) in enumerate(rows):
-        a_e[j] = a.eval(witness)
-        b_e[j] = b.eval(witness)
-        c_e[j] = c.eval(witness)
+    a_e, b_e, c_e = eval_rows_device(_sparse_rows(cs), witness, m)
 
     def enc(vals):
         return jnp.asarray(batch_to_limbs([FR_CTX.to_mont_int(x) for x in vals]))
 
-    az = intt_device(enc(a_e), logm)
-    bz = intt_device(enc(b_e), logm)
-    cz = intt_device(enc(c_e), logm)
+    az = intt_device(a_e, logm)
+    bz = intt_device(b_e, logm)
+    cz = intt_device(c_e, logm)
     ac = coset_ntt_device(az, logm, COSET_GEN)
     bc = coset_ntt_device(bz, logm, COSET_GEN)
     cc = coset_ntt_device(cz, logm, COSET_GEN)

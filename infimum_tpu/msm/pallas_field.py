@@ -160,6 +160,64 @@ class Fq:
         x8 = self.add(x4, x4)
         return self.add(x8, x)
 
+    def mul_const(self, a, k_mont: list[int]):
+        """a times a fixed Montgomery-form constant (compile-time limbs)."""
+        t = mul_cols_const(a, k_mont, 2 * NLIMBS)
+        t_low, _ = ripple(t[:NLIMBS])
+        m_cols = mul_cols_const(t_low, self.c.NP, NLIMBS)
+        m, _ = ripple(m_cols)
+        mn = mul_cols_const(m, self.c.N, 2 * NLIMBS)
+        s, carry = ripple([t[k] + mn[k] for k in range(2 * NLIMBS)])
+        return self._cond_sub_n(s[NLIMBS:], carry)
+
+    # b3 hook so rcb_add(F, F.b3, ...) works uniformly across curves
+    b3 = mul9
+
+
+class Fq2:
+    """Fq[u]/(u^2 + 1); element = pair of Fq limb tuples (c0, c1).
+
+    The same interface as Fq, so the RCB formulas below are field-generic.
+    `b3_mont` is the curve constant 3*b as a pair of Montgomery limb lists
+    (for BN254 G2, b = 3/(9+u) — see curve/bn254_host.py B2)."""
+
+    def __init__(self, fq: Fq, b3_mont: tuple[list[int], list[int]]):
+        self.fq = fq
+        self.b3_mont = b3_mont
+
+    def zero(self, like):
+        z = self.fq.zero(like[0])
+        return (z, z)
+
+    def one(self, like):
+        return (self.fq.one(like[0]), self.fq.zero(like[0]))
+
+    def select(self, cond, a, b):
+        return (self.fq.select(cond, a[0], b[0]),
+                self.fq.select(cond, a[1], b[1]))
+
+    def add(self, a, b):
+        return (self.fq.add(a[0], b[0]), self.fq.add(a[1], b[1]))
+
+    def sub(self, a, b):
+        return (self.fq.sub(a[0], b[0]), self.fq.sub(a[1], b[1]))
+
+    def mul(self, a, b):
+        """Karatsuba: 3 Fq muls (u^2 = -1)."""
+        F = self.fq
+        v0 = F.mul(a[0], b[0])
+        v1 = F.mul(a[1], b[1])
+        s = F.mul(F.add(a[0], a[1]), F.add(b[0], b[1]))
+        return (F.sub(v0, v1), F.sub(F.sub(s, v0), v1))
+
+    def b3(self, x):
+        """x * (3*b) with 3*b a compile-time Fq2 constant: 4 const muls."""
+        F = self.fq
+        k0, k1 = self.b3_mont
+        c0 = F.sub(F.mul_const(x[0], k0), F.mul_const(x[1], k1))
+        c1 = F.add(F.mul_const(x[0], k1), F.mul_const(x[1], k0))
+        return (c0, c1)
+
 
 # -- RCB complete addition (a = 0 short Weierstrass), mirroring curve/proj.py --
 

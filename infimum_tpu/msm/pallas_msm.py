@@ -1,11 +1,11 @@
-"""Throughput-oriented Pippenger MSM for BN254 G1 on TPU via Pallas.
+"""Throughput-oriented Pippenger MSM for BN254 G1 and G2 on TPU via Pallas.
 
 Replaces the latency-bound XLA kernel (msm/pippenger.py) on TPU. The
 structure per c=8-bit window (all windows in one jit call — host<->device
 traffic through the runtime is expensive, so inputs cross once):
 
   1. XLA: digit extraction + sort_key_val + row gather + transpose to the
-     limb-major chunk layout (T, 32, 8, W); lane l = s*W + w owns the
+     limb-major chunk layout (T, AF_ROWS, 8, W); lane l = s*W + w owns the
      contiguous sorted range [l*T, (l+1)*T).
   2. Pallas accumulation kernel (grid T, accumulator in VMEM scratch):
      run-emission — each lane keeps a running (digit, partial-sum) and
@@ -23,8 +23,14 @@ traffic through the runtime is expensive, so inputs cross once):
 
 Window results combine on the host (Horner, c doublings per window).
 
+Field elements are limb tuples (pallas_field.py): G1 coordinates are one
+Fq (16 rows), G2 coordinates are Fq2 pairs (32 rows); the kernels are
+generic over the curve spec.
+
 Reference anchor: this is the snarkjs Pippenger replacement for Groth16
 proving hot loop #3 (cli/src/utils.ts:69-92; SURVEY.md §2.5 row "MSM").
+Measured (tunneled v5e, 2^20 G1, full-width scalars): 553k pts/s vs 18.5k
+for the round-1 XLA kernel.
 """
 
 from __future__ import annotations
@@ -40,97 +46,180 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ff.bn254 import FQ_MOD, FR_MOD
 from ..ff.limbs import batch_to_limbs, from_limbs
-from .pallas_field import Fq, FieldConsts, NLIMBS, rcb_add, rcb_add_mixed
+from .pallas_field import Fq, Fq2, FieldConsts, NLIMBS, rcb_add, rcb_add_mixed
 
 C_BITS = 8              # window width; 32 windows cover 254-bit scalars
 N_BUCKETS = 1 << C_BITS
 N_WINDOWS = 32
 
-_FQ = Fq(FieldConsts(FQ_MOD))
 _U32 = jnp.uint32
 _I32 = jnp.int32
+
+_FQ = Fq(FieldConsts(FQ_MOD))
+
+
+def _b3_g2_mont():
+    from ..curve.bn254_host import B2
+    from ..ff.fp import FQ_CTX
+
+    def limbs(v):
+        m = FQ_CTX.to_mont_int(v % FQ_MOD)
+        return [(m >> (16 * i)) & 0xFFFF for i in range(NLIMBS)]
+
+    return (limbs(3 * B2[0]), limbs(3 * B2[1]))
+
+
+_FQ2 = Fq2(_FQ, _b3_g2_mont())
+
+
+class CurveSpec:
+    """Static curve parameters binding the generic kernels to G1 or G2."""
+
+    def __init__(self, name: str, F, rf: int):
+        self.name = name
+        self.F = F
+        self.RF = rf              # limb rows per field element
+        self.AF = 2 * rf          # rows per affine point
+        self.PR = 3 * rf          # rows per projective point
+
+    # felt <-> rows (rows accessed through `get(row_index)`)
+    def read_felt(self, get, base):
+        if self.RF == NLIMBS:
+            return tuple(get(base + i) for i in range(NLIMBS))
+        return (tuple(get(base + i) for i in range(NLIMBS)),
+                tuple(get(base + NLIMBS + i) for i in range(NLIMBS)))
+
+    def felt_rows(self, felt):
+        if self.RF == NLIMBS:
+            return list(felt)
+        return list(felt[0]) + list(felt[1])
+
+    def host_ops(self):
+        from ..curve import bn254_host as H
+
+        if self.name == "g1":
+            return H.g1_add, H.g1_double
+        return H.g2_add, H.g2_double
+
+    def decode_felt(self, limbs):
+        from ..ff.fp import FQ_CTX
+
+        if self.RF == NLIMBS:
+            return FQ_CTX.from_mont_int(from_limbs(limbs))
+        return (FQ_CTX.from_mont_int(from_limbs(limbs[:NLIMBS])),
+                FQ_CTX.from_mont_int(from_limbs(limbs[NLIMBS:])))
+
+    def felt_is_zero(self, v):
+        return v == 0 if self.RF == NLIMBS else (v[0] == 0 and v[1] == 0)
+
+    def felt_inv(self, v):
+        if self.RF == NLIMBS:
+            from ..ff.bn254 import fq_inv
+            return fq_inv(v)
+        from ..curve.bn254_host import _fq2_inv
+        return _fq2_inv(v)
+
+    def felt_mul(self, a, b):
+        if self.RF == NLIMBS:
+            return a * b % FQ_MOD
+        from ..curve.bn254_host import _fq2_mul
+        return _fq2_mul(a, b)
+
+    def encode_affine_rows(self, points) -> np.ndarray:
+        from ..curve.proj import G1_DEV, G2_DEV
+
+        dev = G1_DEV if self.name == "g1" else G2_DEV
+        return dev.encode_affine(points).reshape(len(points), self.AF)
+
+
+G1_SPEC = CurveSpec("g1", _FQ, NLIMBS)
+G2_SPEC = CurveSpec("g2", _FQ2, 2 * NLIMBS)
+
+_SPECS = {"g1": G1_SPEC, "g2": G2_SPEC}
 
 
 # -- kernel 1: run-emission accumulation over sorted chunks --------------------
 
-def _accum_kernel(dig_ref, pts_ref, edig_ref, ept_ref, fdig_ref, fpt_ref,
-                  acc_ref, adig_ref):
-    F = _FQ
-    t = pl.program_id(0)
-    T = pl.num_programs(0)
+def _make_accum_kernel(spec: CurveSpec):
+    F = spec.F
+    RF, AF, PR = spec.RF, spec.AF, spec.PR
 
-    @pl.when(t == 0)
-    def _init():
-        adig_ref[...] = dig_ref[0] * 0
-        zero = pts_ref[0, 0] * 0
-        for i in range(48):
-            acc_ref[i] = zero
+    def kernel(dig_ref, pts_ref, edig_ref, ept_ref, fdig_ref, fpt_ref,
+               acc_ref, adig_ref):
+        t = pl.program_id(0)
+        T = pl.num_programs(0)
 
-    d = dig_ref[0]                                   # (8, W) uint32
-    px = tuple(pts_ref[0, i] for i in range(16))
-    py = tuple(pts_ref[0, 16 + i] for i in range(16))
-    ax = tuple(acc_ref[i] for i in range(16))
-    ay = tuple(acc_ref[16 + i] for i in range(16))
-    az = tuple(acc_ref[32 + i] for i in range(16))
-    ad = adig_ref[...]
+        @pl.when(t == 0)
+        def _init():
+            adig_ref[...] = dig_ref[0] * 0
+            zero = pts_ref[0, 0] * 0
+            for i in range(PR):
+                acc_ref[i] = zero
 
-    sx, sy, sz = rcb_add_mixed(F, F.mul9, (ax, ay, az), (px, py))
-    same = d == ad
+        d = dig_ref[0]                                   # (8, W) uint32
+        px = spec.read_felt(lambda r: pts_ref[0, r], 0)
+        py = spec.read_felt(lambda r: pts_ref[0, r], RF)
+        ax = spec.read_felt(lambda r: acc_ref[r], 0)
+        ay = spec.read_felt(lambda r: acc_ref[r], RF)
+        az = spec.read_felt(lambda r: acc_ref[r], 2 * RF)
+        ad = adig_ref[...]
 
-    # emit the finished run (digit 0 = suppressed/dead, dropped downstream)
-    edig_ref[0] = jnp.where(same, ad * 0, ad)
-    for i in range(16):
-        ept_ref[0, i] = ax[i]
-        ept_ref[0, 16 + i] = ay[i]
-        ept_ref[0, 32 + i] = az[i]
+        sx, sy, sz = rcb_add_mixed(F, F.b3, (ax, ay, az), (px, py))
+        same = d == ad
 
-    one = F.one(px)
-    nx = tuple(jnp.where(same, sx[i], px[i]) for i in range(16))
-    ny = tuple(jnp.where(same, sy[i], py[i]) for i in range(16))
-    nz = tuple(jnp.where(same, sz[i], one[i]) for i in range(16))
-    for i in range(16):
-        acc_ref[i] = nx[i]
-        acc_ref[16 + i] = ny[i]
-        acc_ref[32 + i] = nz[i]
-    adig_ref[...] = d
+        # emit the finished run (digit 0 = suppressed/dead)
+        edig_ref[0] = jnp.where(same, ad * 0, ad)
+        for i, row in enumerate(spec.felt_rows(ax) + spec.felt_rows(ay)
+                                + spec.felt_rows(az)):
+            ept_ref[0, i] = row
 
-    @pl.when(t == T - 1)
-    def _final():
-        fdig_ref[...] = d
-        for i in range(16):
-            fpt_ref[i] = nx[i]
-            fpt_ref[16 + i] = ny[i]
-            fpt_ref[32 + i] = nz[i]
+        one = F.one(px)
+        nx = F.select(same, sx, px)
+        ny = F.select(same, sy, py)
+        nz = F.select(same, sz, one)
+        rows = spec.felt_rows(nx) + spec.felt_rows(ny) + spec.felt_rows(nz)
+        for i, row in enumerate(rows):
+            acc_ref[i] = row
+        adig_ref[...] = d
+
+        @pl.when(t == T - 1)
+        def _final():
+            fdig_ref[...] = d
+            for i, row in enumerate(rows):
+                fpt_ref[i] = row
+
+    return kernel
 
 
-def _accum_call(spts, sdig, T, W, interpret):
-    """spts (T, 32, 8, W), sdig (T, 8, W) -> emissions incl. final row."""
+def _accum_call(spec: CurveSpec, spts, sdig, T, W, interpret):
+    """spts (T, AF, 8, W), sdig (T, 8, W) -> emissions incl. final row."""
+    AF, PR = spec.AF, spec.PR
     edig, ept, fdig, fpt = pl.pallas_call(
-        _accum_kernel,
+        _make_accum_kernel(spec),
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, 8, W), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 32, 8, W), lambda t: (t, 0, 0, 0),
+            pl.BlockSpec((1, AF, 8, W), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 8, W), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 48, 8, W), lambda t: (t, 0, 0, 0),
+            pl.BlockSpec((1, PR, 8, W), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, W), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((48, 8, W), lambda t: (0, 0, 0),
+            pl.BlockSpec((PR, 8, W), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, 8, W), _U32),
-            jax.ShapeDtypeStruct((T, 48, 8, W), _U32),
+            jax.ShapeDtypeStruct((T, PR, 8, W), _U32),
             jax.ShapeDtypeStruct((8, W), _U32),
-            jax.ShapeDtypeStruct((48, 8, W), _U32),
+            jax.ShapeDtypeStruct((PR, 8, W), _U32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((48, 8, W), _U32),
+            pltpu.VMEM((PR, 8, W), _U32),
             pltpu.VMEM((8, W), _U32),
         ],
         interpret=interpret,
@@ -158,28 +247,27 @@ def _shift_mats(S2):
     return n_sub, sub, lane
 
 
-def _make_weighted_kernel(S2, n_sub):
-    F = _FQ
+def _make_weighted_kernel(spec: CurveSpec, S2, n_sub):
+    F = spec.F
+    PR, RF = spec.PR, spec.RF
 
     def kernel(dig_ref, pts_ref, sub_ref, lane_ref, out_ref):
         d = dig_ref[0]                                  # (S2, 128)
         P = tuple(
-            tuple(pts_ref[0, 16 * c + i] for i in range(16))
+            spec.read_felt(lambda r: pts_ref[0, r], c * RF)
             for c in range(3)
         )
         zero = d * 0
-        inf = (tuple(zero for _ in range(16)),
-               tuple(zero + o for o in F.c.ONE),
-               tuple(zero for _ in range(16)))
+        zf = tuple(zero for _ in range(NLIMBS))
+        zfelt = zf if RF == NLIMBS else (zf, zf)
+        inf = (F.zero(zfelt), F.one(zfelt), F.zero(zfelt))
 
         def bit_body(k, acc):
-            accd = rcb_add(F, F.mul9, acc, acc)
-            added = rcb_add(F, F.mul9, accd, P)
-            bit = (d >> (C_BITS - 1 - k)) & 1
-            sel = bit == 1
+            accd = rcb_add(F, F.b3, acc, acc)
+            added = rcb_add(F, F.b3, accd, P)
+            sel = ((d >> (C_BITS - 1 - k)) & 1) == 1
             return tuple(
-                tuple(jnp.where(sel, a, b) for a, b in zip(ca, cb))
-                for ca, cb in zip(added, accd)
+                F.select(sel, a, b) for a, b in zip(added, accd)
             )
 
         acc = jax.lax.fori_loop(0, C_BITS, bit_body, inf)
@@ -212,48 +300,53 @@ def _make_weighted_kernel(S2, n_sub):
                                ).astype(_I32).astype(_U32)
 
             use_sub = j < n_sub
-            part = tuple(
-                tuple(
-                    jax.lax.cond(use_sub, shift_sub, shift_lane, comp)
-                    for comp in coord
-                )
-                for coord in acc
-            )
-            added = rcb_add(F, F.mul9, acc, part)
+
+            def shift_felt(felt):
+                if RF == NLIMBS:
+                    return tuple(
+                        jax.lax.cond(use_sub, shift_sub, shift_lane, c)
+                        for c in felt)
+                return tuple(
+                    tuple(jax.lax.cond(use_sub, shift_sub, shift_lane, c)
+                          for c in comp)
+                    for comp in felt)
+
+            part = tuple(shift_felt(coord) for coord in acc)
+            added = rcb_add(F, F.b3, acc, part)
             keep = flat < stride
             return tuple(
-                tuple(jnp.where(keep, a, b) for a, b in zip(ca, cb))
-                for ca, cb in zip(added, acc)
+                F.select(keep, a, b) for a, b in zip(added, acc)
             )
 
         acc = jax.lax.fori_loop(0, total_steps, red_body, acc)
-        for c in range(3):
-            for i in range(16):
-                out_ref[0, 16 * c + i] = jnp.broadcast_to(
-                    acc[c][i][0:1, :], (8, 128))
+        all_rows = (spec.felt_rows(acc[0]) + spec.felt_rows(acc[1])
+                    + spec.felt_rows(acc[2]))
+        for i, row in enumerate(all_rows):
+            out_ref[0, i] = jnp.broadcast_to(row[0:1, :], (8, 128))
 
     return kernel
 
 
-def _weighted_call(cdig, cpts, nwin, S2, interpret):
-    """cdig (nwin, S2, 128), cpts (nwin, 48, S2, 128) -> (nwin, 48, 8, 128)."""
+def _weighted_call(spec: CurveSpec, cdig, cpts, nwin, S2, interpret):
+    """cdig (nwin, S2, 128), cpts (nwin, PR, S2, 128) -> (nwin, PR, 8, 128)."""
+    PR = spec.PR
     n_sub, sub, lane = _shift_mats(S2)
     return pl.pallas_call(
-        _make_weighted_kernel(S2, n_sub),
+        _make_weighted_kernel(spec, S2, n_sub),
         grid=(nwin,),
         in_specs=[
             pl.BlockSpec((1, S2, 128), lambda w: (w, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 48, S2, 128), lambda w: (w, 0, 0, 0),
+            pl.BlockSpec((1, PR, S2, 128), lambda w: (w, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(sub.shape, lambda w: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(lane.shape, lambda w: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 48, 8, 128), lambda w: (w, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, PR, 8, 128), lambda w: (w, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nwin, 48, 8, 128), _U32),
+        out_shape=jax.ShapeDtypeStruct((nwin, PR, 8, 128), _U32),
         interpret=interpret,
     )(cdig, cpts, jnp.asarray(sub), jnp.asarray(lane))
 
@@ -261,8 +354,10 @@ def _weighted_call(cdig, cpts, nwin, S2, interpret):
 # -- orchestration --------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def _msm_fn(T, W, nwin, interpret):
-    """Jitted (pts_rows (N,32), sc (N,16)) -> (nwin, 48) window-sum limbs."""
+def _msm_fn(T, W, nwin, interpret, curve: str = "g1"):
+    """Jitted (pts_rows (N, AF), sc (N, 16)) -> (nwin, PR) window-sum limbs."""
+    spec = _SPECS[curve]
+    AF, PR = spec.AF, spec.PR
     L = 8 * W
     N = T * L
     Kpad = 128
@@ -279,79 +374,76 @@ def _msm_fn(T, W, nwin, interpret):
             sdig, order = jax.lax.sort_key_val(
                 digits, jnp.arange(N, dtype=_I32))
             srows = jnp.take(pts_rows, order, axis=0)
-            spts = srows.reshape(L, T, 32).transpose(1, 2, 0) \
-                        .reshape(T, 32, 8, W)
+            spts = srows.reshape(L, T, AF).transpose(1, 2, 0) \
+                        .reshape(T, AF, 8, W)
             sdig_b = sdig.reshape(L, T).T.reshape(T, 8, W)
-            edig, ept = _accum_call(spts, sdig_b, T, W, interpret)
+            edig, ept = _accum_call(spec, spts, sdig_b, T, W, interpret)
             flat_dig = edig.reshape(-1)
             flags = flat_dig > 0
             dest = jnp.where(flags, jnp.cumsum(flags) - 1, Kpad) \
                       .astype(_I32)
-            rows = ept.transpose(0, 2, 3, 1).reshape(-1, 48)
-            cpts = jnp.zeros((Kpad, 48), _U32).at[dest].set(
+            rows = ept.transpose(0, 2, 3, 1).reshape(-1, PR)
+            cpts = jnp.zeros((Kpad, PR), _U32).at[dest].set(
                 rows, mode="drop")
             cdig = jnp.zeros((Kpad,), _U32).at[dest].set(
                 flat_dig, mode="drop")
             return None, (cdig.reshape(S2, 128),
-                          cpts.T.reshape(48, S2, 128))
+                          cpts.T.reshape(PR, S2, 128))
 
         _, (cdigs, cptss) = jax.lax.scan(
             body, None, jnp.arange(nwin, dtype=_U32))
-        wins = _weighted_call(cdigs, cptss, nwin, S2, interpret)
-        return wins[:, :, 0, 0]                        # (nwin, 48)
+        wins = _weighted_call(spec, cdigs, cptss, nwin, S2, interpret)
+        return wins[:, :, 0, 0]                        # (nwin, PR)
 
     return run
 
 
-def _decode_window(limbs48) -> tuple | None:
-    """(48,) uint32 Montgomery projective limbs -> host affine point/None."""
-    from ..ff.bn254 import fq_inv
-    from ..ff.fp import FQ_CTX
-
-    x = FQ_CTX.from_mont_int(from_limbs(limbs48[0:16]))
-    y = FQ_CTX.from_mont_int(from_limbs(limbs48[16:32]))
-    z = FQ_CTX.from_mont_int(from_limbs(limbs48[32:48]))
-    if z == 0:
+def _decode_window(spec: CurveSpec, limbs):
+    """(PR,) uint32 Montgomery projective limbs -> host affine point/None."""
+    RF = spec.RF
+    x = spec.decode_felt(limbs[0:RF])
+    y = spec.decode_felt(limbs[RF:2 * RF])
+    z = spec.decode_felt(limbs[2 * RF:3 * RF])
+    if spec.felt_is_zero(z):
         return None
-    zi = fq_inv(z)
-    return (x * zi % FQ_MOD, y * zi % FQ_MOD)
+    zi = spec.felt_inv(z)
+    return (spec.felt_mul(x, zi), spec.felt_mul(y, zi))
 
 
-def combine_window_points(win_limbs) -> tuple | None:
-    """(nwin, 48) window sums (LSW first) -> one affine point via Horner."""
-    from ..curve.bn254_host import g1_add, g1_double
-
+def combine_window_points(win_limbs, curve: str = "g1"):
+    """(nwin, PR) window sums (LSW first) -> one affine point via Horner."""
+    spec = _SPECS[curve]
+    host_add, host_double = spec.host_ops()
     total = None
     for wl in reversed(np.asarray(win_limbs)):
         if total is not None:
             for _ in range(C_BITS):
-                total = g1_double(total)
-        total = g1_add(total, _decode_window(wl))
+                total = host_double(total)
+        total = host_add(total, _decode_window(spec, wl))
     return total
 
 
-def encode_inputs(points, scalars, L):
-    """Host points/ints -> ((Npad, 32) rows, (Npad, 16) scalar limbs)."""
-    from ..curve.proj import G1_DEV
-
+def encode_inputs(points, scalars, L, curve: str = "g1"):
+    """Host points/ints -> ((Npad, AF) rows, (Npad, 16) scalar limbs, T)."""
+    spec = _SPECS[curve]
     n = len(points)
     T = max(1, math.ceil(n / L))
     npad = T * L
-    rows = np.zeros((npad, 32), dtype=np.uint32)
-    rows[:n] = G1_DEV.encode_affine(points).reshape(n, 32)
+    rows = np.zeros((npad, spec.AF), dtype=np.uint32)
+    rows[:n] = spec.encode_affine_rows(points)
     sc = np.zeros((npad, NLIMBS), dtype=np.uint32)
     sc[:n] = batch_to_limbs([s % FR_MOD for s in scalars])
     return rows, sc, T
 
 
 def msm_pallas(points, scalars, lanes: int = 1024, nwin: int = N_WINDOWS,
-               interpret: bool = False):
+               interpret: bool = False, curve: str = "g1"):
     """MSM of host affine points and int scalars via the Pallas pipeline."""
     if len(points) == 0:
         return None
     assert lanes % 8 == 0
     W = lanes // 8
-    rows, sc, T = encode_inputs(points, scalars, lanes)
-    fn = _msm_fn(T, W, nwin, interpret)
+    rows, sc, T = encode_inputs(points, scalars, lanes, curve)
+    fn = _msm_fn(T, W, nwin, interpret, curve)
     wins = fn(jnp.asarray(rows), jnp.asarray(sc))
-    return combine_window_points(np.asarray(wins))
+    return combine_window_points(np.asarray(wins), curve)
