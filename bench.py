@@ -121,7 +121,7 @@ def main():
     best = min(times)
 
     value = n / best
-    print(json.dumps({
+    record = {
         "metric": f"msm_g1_2^{n.bit_length() - 1}_points_per_sec",
         "value": round(value, 1),
         "unit": "points/sec/chip",
@@ -131,7 +131,59 @@ def main():
         "platform": platform, "kernel": kernel_name,
         "correct": True,
         "baseline_note": "reference publishes no numbers; proxy = 5e4 pts/s snarkjs-WASM",
-    }))
+    }
+    record.update(bench_poseidon(on_tpu, reps))
+    print(json.dumps(record))
+
+
+def bench_poseidon(on_tpu: bool, reps: int) -> dict:
+    """Poseidon width-5 batch hashing (the tree-build hot loop, reference
+    pallet/src/hash/poseidon.rs:162-208): Pallas kernel on TPU, XLA kernel
+    elsewhere. Host-KAT-gated: no number is reported on mismatch."""
+    import jax.numpy as jnp
+
+    from infimum_tpu.ff.fp import FR_CTX
+    from infimum_tpu.ff.bn254 import FR_MOD
+    from infimum_tpu.hash.poseidon_host import poseidon as poseidon_ref
+
+    b = int(os.environ.get("BENCH_POSEIDON_B", str(1 << 16 if on_tpu else 64)))
+    width = 5
+    rng = random.Random(20260819)
+    cols_host = [[rng.randrange(FR_MOD) for _ in range(b)]
+                 for _ in range(width)]
+    # FR_CTX.encode already emits Montgomery form: (width, B, NLIMBS)
+    enc = jnp.stack([jnp.asarray(FR_CTX.encode(c)) for c in cols_host])
+
+    if on_tpu:
+        from infimum_tpu.hash.poseidon_pallas import poseidon_hash_pallas as fn
+        kernel = "pallas"
+    else:
+        from infimum_tpu.hash.poseidon import poseidon_hash_device as fn
+        kernel = "xla"
+
+    import jax
+
+    jfn = jax.jit(fn)
+    out = _force(jfn(enc))                        # compile + warm
+    got = FR_CTX.decode(out[:64])
+    want = [poseidon_ref([c[i] for c in cols_host]) for i in range(64)]
+    if got != want:
+        raise SystemExit(
+            "Poseidon kernel mismatch vs host reference - refusing to "
+            "report a throughput number for an incorrect kernel")
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _force(jfn(enc))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    return {
+        "poseidon_w5_hashes_per_sec": round(b / best, 1),
+        "poseidon_batch": b,
+        "poseidon_kernel": kernel,
+        "poseidon_correct": True,
+    }
 
 
 if __name__ == "__main__":

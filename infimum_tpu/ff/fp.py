@@ -100,12 +100,19 @@ def _carry(cols, nout):
     g = ((a + b) >> LIMB_BITS).astype(_U32)              # generate: a+b >= 2^16
     p = ((a + b) == LIMB_MASK).astype(_U32)              # propagate: a+b == 0xFFFF
 
-    def combine(lo, hi):
-        g1, p1 = lo
-        g2, p2 = hi
-        return (g2 | (p2 & g1), p1 & p2)
-
-    G, _ = jax.lax.associative_scan(combine, (g, p), axis=-1)
+    # inclusive generate/propagate prefix via hand-rolled Kogge-Stone: the
+    # same log-depth combine as lax.associative_scan but ~10x fewer HLO ops
+    # (associative_scan's odd/even recursion of slices+concats made this the
+    # dominant *compile-time* cost of every field op on XLA:CPU)
+    nlimb = cols.shape[-1]
+    d = 1
+    while d < nlimb:
+        gs = jnp.concatenate([jnp.zeros_like(g[..., :d]), g[..., :-d]], axis=-1)
+        ps = jnp.concatenate([jnp.ones_like(p[..., :d]), p[..., :-d]], axis=-1)
+        g = g | (p & gs)
+        p = p & ps
+        d <<= 1
+    G = g
     carry_in = shift_up(G)
     out = (a + b + carry_in) & LIMB_MASK
     carry_out = (c[..., -1] + (v[..., -1] >> LIMB_BITS) + G[..., -1]).astype(_U32)

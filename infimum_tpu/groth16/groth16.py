@@ -81,42 +81,48 @@ def _domain_size(cs: ConstraintSystem) -> int:
     return 1 << (n - 1).bit_length()
 
 
-def setup(cs: ConstraintSystem, rng: random.Random | None = None) -> ProvingKey:
-    rng = rng or random.SystemRandom()
-    tau = rng.randrange(1, P)
-    alpha = rng.randrange(1, P)
-    beta = rng.randrange(1, P)
-    gamma = rng.randrange(1, P)
-    delta = rng.randrange(1, P)
-
-    rows = _qap_rows(cs)
-    m = _domain_size(cs)
-    w = _root_of_unity(m)
-
-    # L_j(tau) = (Z(tau)/m) * w^j / (tau - w^j)
-    z_tau = (pow(tau, m, P) - 1) % P
-    assert z_tau != 0, "tau hit the domain (negligible probability)"
-    zm = z_tau * fr_inv(m) % P
-    lag = []
-    wj = 1
-    denoms = []
-    for _ in range(m):
-        denoms.append((tau - wj) % P)
-        wj = wj * w % P
-    # batch inversion
+def batch_inv(vals: list[int]) -> list[int]:
+    """Montgomery-trick batch inversion mod P (one fr_inv for the batch)."""
+    m = len(vals)
     pref = [1] * (m + 1)
-    for i, d in enumerate(denoms):
+    for i, d in enumerate(vals):
         pref[i + 1] = pref[i] * d % P
     inv_all = fr_inv(pref[m])
     invs = [0] * m
     for i in range(m - 1, -1, -1):
         invs[i] = pref[i] * inv_all % P
-        inv_all = inv_all * denoms[i] % P
+        inv_all = inv_all * vals[i] % P
+    return invs
+
+
+def lagrange_at(y: int, m: int) -> list[int]:
+    """All m Lagrange-basis polynomials over the radix-2 domain, evaluated
+    at y: L_j(y) = (Z(y)/m) * w^j / (y - w^j)."""
+    w = _root_of_unity(m)
+    z_y = (pow(y, m, P) - 1) % P
+    assert z_y != 0, "evaluation point hit the domain"
+    zm = z_y * fr_inv(m) % P
+    denoms = []
+    wj = 1
+    for _ in range(m):
+        denoms.append((y - wj) % P)
+        wj = wj * w % P
+    invs = batch_inv(denoms)
+    lag = []
     wj = 1
     for j in range(m):
         lag.append(zm * wj % P * invs[j] % P)
         wj = wj * w % P
+    return lag
 
+
+def qap_polys_at_tau(cs: ConstraintSystem, tau: int):
+    """(u, v, w) per-variable QAP polynomial evaluations at tau, plus Z(tau)
+    and the domain size (libsnark/arkworks reduction incl. public rows)."""
+    rows = _qap_rows(cs)
+    m = _domain_size(cs)
+    lag = lagrange_at(tau, m)
+    z_tau = (pow(tau, m, P) - 1) % P
     nv = cs.num_vars
     u = [0] * nv
     v = [0] * nv
@@ -129,7 +135,19 @@ def setup(cs: ConstraintSystem, rng: random.Random | None = None) -> ProvingKey:
             v[i] = (v[i] + coeff * lj) % P
         for i, coeff in c.terms.items():
             wpoly[i] = (wpoly[i] + coeff * lj) % P
+    return u, v, wpoly, z_tau, m
 
+
+def setup(cs: ConstraintSystem, rng: random.Random | None = None) -> ProvingKey:
+    rng = rng or random.SystemRandom()
+    tau = rng.randrange(1, P)
+    alpha = rng.randrange(1, P)
+    beta = rng.randrange(1, P)
+    gamma = rng.randrange(1, P)
+    delta = rng.randrange(1, P)
+
+    u, v, wpoly, z_tau, m = qap_polys_at_tau(cs, tau)
+    nv = cs.num_vars
     gamma_inv = fr_inv(gamma)
     delta_inv = fr_inv(delta)
     npub = cs.num_public + 1
@@ -195,6 +213,23 @@ def _msm(points, scalars, curve=G1_DEV, lanes: int | None = None,
     if len(pts) < (host_threshold if host_threshold is not None
                    else device_threshold()):
         return msm_host_fast(pts, sc, curve.name)
+
+    from ..utils.backend import platform
+
+    if platform() == "tpu":
+        # hand-written Mosaic pipeline (msm/pallas_msm.py), ~30x the XLA
+        # kernel on a v5e; pad the chunk count to a power of two so the
+        # prover's five big MSMs share compile-cache entries
+        from ..msm.pallas_msm import msm_pallas
+
+        planes = 1024 if curve.name == "g1" else 256
+        t = 1 << (max(1, math.ceil(len(pts) / planes)) - 1).bit_length()
+        pad = t * planes - len(pts)
+        if pad:
+            pts += [pts[0]] * pad        # scalar-0 padding: digit 0 is
+            sc += [0] * pad              # never accumulated by the kernel
+        return msm_pallas(pts, sc, lanes=planes, curve=curve.name)
+
     pad = 64 * math.ceil(len(pts) / 64) - len(pts)
     pts += [pts[0]] * pad
     sc += [0] * pad

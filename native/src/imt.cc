@@ -10,15 +10,15 @@ static constexpr int MAX_ZERO_DEPTH = 33;
 // derivation, verified against the reference byte tables zeroes.rs:1-79).
 static U256 pad_key_x() {
   return from_hex(
-      "171f0f1333cf8005ee1fd68c67b07a1897fcc5b9ee64c94cbd50a9e0d9401757");
+      "171e826ad4a870fd925e0bf0e87884e70e080879c2205ef10114f28a3b6f6dd7");
 }
 static U256 pad_key_y() {
   return from_hex(
-      "2bd42c24138e86594e7b5bb7ecc2da7cbb8a26a26fef04ab17a0b331b4c5ab9d");
+      "2bd407d897fbbca9f88adfd2d15252e69de8c1564eb4d3d27162e259172f1a1d");
 }
 static U256 nothing_up_my_sleeve() {
   return from_hex(
-      "1281f68ffab4cddc7a74d963c92c166b7f21426cd3245c9bf0e1e2b7ab9cbe91");
+      "12817f4161f2f5ded33f26c55735a77e80e4f8975483c8c2704745128417f711");
 }
 
 const std::vector<U256>& merkle_zeros(int arity) {

@@ -140,3 +140,37 @@ def test_nullify_poll():
     assert p.polls[0].tombstone
     with pytest.raises(PalletError):
         p.commit_outcome(ALICE, [])
+
+
+def test_typed_dispatcher():
+    """pallet/dispatch.py: typed schema validation + event decode, the
+    extrinsic() surface of reference cli/src/extrinsic.ts:153-203."""
+    from infimum_tpu.pallet.dispatch import Extrinsic, DispatchResult, dispatch
+
+    p = InfimumPallet()
+    res = dispatch(p, ALICE, Extrinsic.REGISTER_AS_COORDINATOR,
+                   public_key=fx.COORD_PK, vkeys=FIX["vkeys"])
+    assert isinstance(res, DispatchResult)
+    assert res.event("CoordinatorRegistered").data["who"] == ALICE
+
+    res = dispatch(p, ALICE, Extrinsic.CREATE_POLL,
+                   signup_period=12, voting_period=12, registration_depth=10,
+                   interaction_depth=2, process_subtree_depth=1,
+                   tally_subtree_depth=1, vote_option_tree_depth=2,
+                   vote_options=list(range(25)))
+    assert res.event("PollCreated").data["index"] == 0
+
+    # schema violations are TypeErrors (the TS compile-time guarantee)
+    with pytest.raises(TypeError):
+        dispatch(p, ALICE, Extrinsic.CREATE_POLL, signup_period=12)
+    with pytest.raises(TypeError):
+        dispatch(p, ALICE, Extrinsic.MERGE_POLL_STATE, bogus=1)
+
+    # module errors decode as PalletError through the dispatcher
+    p.run_to_block(2)
+    res = dispatch(p, BOB, Extrinsic.REGISTER_AS_PARTICIPANT,
+                   poll_id=0, public_key=fx.PARTICIPANTS[0])
+    assert res.event("ParticipantRegistered").data["poll"] == 0
+    with pytest.raises(PalletError) as e:
+        dispatch(p, ALICE, Extrinsic.NULLIFY_POLL)
+    assert isinstance(e.value.error, Error)

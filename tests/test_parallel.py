@@ -1,0 +1,59 @@
+"""Multi-device (8 virtual CPU chips, conftest.py) tests for the sharded
+proving kernels: Pippenger MSM window sums and the four-step sharded NTT.
+
+These are the scale-out paths SURVEY.md §2.5 specifies (bucket reduction via
+collectives; butterfly stages with all_to_all shard transposes). Correctness
+is bit-exact vs the host bignum references, per BASELINE.md."""
+
+import random
+
+import numpy as np
+import jax
+import pytest
+from jax.sharding import Mesh
+
+from infimum_tpu.ff.bn254 import FR_MOD
+from infimum_tpu.ntt.ntt import ntt_host, intt_host
+from infimum_tpu.parallel.ntt import ntt_sharded, intt_roundtrip_sharded
+from infimum_tpu.parallel.msm import msm_sharded
+from infimum_tpu.curve.bn254_host import G1_GEN, g1_mul
+from infimum_tpu.msm.pippenger import msm_host
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest must provide 8 virtual devices"
+    return Mesh(np.array(devs[:8]), ("dp",))
+
+
+def test_ntt_sharded_matches_host(mesh):
+    rng = random.Random(7)
+    n = 1 << 6
+    values = [rng.randrange(FR_MOD) for _ in range(n)]
+    assert ntt_sharded(values, mesh) == ntt_host(values)
+
+
+def test_ntt_sharded_roundtrip(mesh):
+    rng = random.Random(8)
+    n = 1 << 8
+    values = [rng.randrange(FR_MOD) for _ in range(n)]
+    assert intt_roundtrip_sharded(values, mesh) == values
+
+
+def test_intt_host_consistency():
+    # sanity anchor for the host reference itself
+    rng = random.Random(9)
+    values = [rng.randrange(FR_MOD) for _ in range(16)]
+    assert intt_host(ntt_host(values)) == values
+
+
+def test_msm_sharded_matches_host(mesh):
+    # c=4, lanes=2, 16 points: the exact kernel shape the driver's
+    # dryrun_multichip compiles, so the two share one XLA compile-cache entry
+    rng = random.Random(10)
+    n = 8 * 2
+    points = [g1_mul(G1_GEN, rng.randrange(1, 10_000)) for _ in range(n)]
+    scalars = [rng.randrange(FR_MOD) for _ in range(n)]
+    got = msm_sharded(points, scalars, mesh, c=4, lanes=2)
+    assert got == msm_host(points, scalars)
