@@ -154,17 +154,30 @@ class PollProver:
 
     def prove_poll_results(self):
         """The reference's provePollResults (utils.ts:47-55): returns
-        (proof_batches, outcome) ready for commit_outcome."""
+        (proof_batches, outcome) ready for commit_outcome.
+
+        Batches are proved as a two-stage pipeline (SURVEY.md §2.5 "witness
+        generator: embarrassingly parallel across batches"): a prefetch
+        thread computes the host witness assignment of batch k+1 while the
+        device runs batch k's NTT/MSMs — the reference proves batches in a
+        strictly sequential for loop (cli/src/utils.ts:67-94)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         process_batches, tally_batches, tb = self.get_poll_results()
+        jobs = [(self.keys.process_circuit, self.keys.process_pk, v, m)
+                for v, m in process_batches]
+        jobs += [(self.keys.tally_circuit, self.keys.tally_pk, v, m)
+                 for v, m in tally_batches]
         batches = []
-        for values, meta in process_batches:
-            proof = self._prove_one(
-                self.keys.process_circuit, self.keys.process_pk, values)
-            batches.append((proof, fr_to_hash_bytes(meta["new_commitment"])))
-        for values, meta in tally_batches:
-            proof = self._prove_one(
-                self.keys.tally_circuit, self.keys.tally_pk, values)
-            batches.append((proof, fr_to_hash_bytes(meta["new_commitment"])))
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            futs = [ex.submit(c.assignment, v) for c, _, v, _ in jobs]
+            for (circuit, pk, values, meta), fut in zip(jobs, futs):
+                witness = fut.result()
+                proof = prove(pk, circuit.cs, witness, rng=self.rng)
+                publics = circuit.public_inputs(values)
+                assert verify(pk.vk, proof, publics), "self-verification failed"
+                batches.append((serialize_proof(proof),
+                                fr_to_hash_bytes(meta["new_commitment"])))
         return batches, self._outcome(tb)
 
     def _outcome(self, tb: TallyWitnessBuilder) -> PollOutcome:

@@ -156,30 +156,57 @@ class CurveDev:
         return [tuple(vals[i : i + 2]) for i in range(0, len(vals), 2)]
 
     def encode_affine(self, points) -> np.ndarray:
-        """host affine points [(x, y), ...] (no infinities) -> (N, 2, fshape)."""
-        out = np.zeros((len(points), 2, *self._one_np.shape), dtype=np.uint32)
-        for i, pt in enumerate(points):
+        """host affine points [(x, y), ...] (no infinities) -> (N, 2, fshape).
+
+        Bulk path: one Montgomery mulmod per coordinate plus a single byte-
+        packing pass (batch_to_limbs) instead of per-point limb loops."""
+        from ..ff.limbs import batch_to_limbs
+
+        n = len(points)
+        to_m = FQ_CTX.to_mont_int
+        flat: list[int] = []
+        if self.fdims == 1:
+            for pt in points:
+                if pt is None:
+                    raise ValueError("affine encoding cannot represent infinity")
+                flat.append(to_m(pt[0] % FQ_MOD))
+                flat.append(to_m(pt[1] % FQ_MOD))
+            return batch_to_limbs(flat).reshape(n, 2, NLIMBS)
+        for pt in points:
             if pt is None:
                 raise ValueError("affine encoding cannot represent infinity")
-            out[i, 0] = self._felt_to_limbs(pt[0])
-            out[i, 1] = self._felt_to_limbs(pt[1])
-        return out
+            flat.extend((to_m(pt[0][0] % FQ_MOD), to_m(pt[0][1] % FQ_MOD),
+                         to_m(pt[1][0] % FQ_MOD), to_m(pt[1][1] % FQ_MOD)))
+        return batch_to_limbs(flat).reshape(n, 2, 2, NLIMBS)
 
     def decode(self, p):
-        """batched device projective points -> list of host affine / None."""
-        from ..ff.bn254 import fq_inv
+        """batched device projective points -> list of host affine / None.
+
+        Z inversions are batched (Montgomery trick): one modexp for the whole
+        batch — per-point pow() dominated decode time at setup sizes."""
+        from ..ff.bn254 import batch_inv_mod
 
         xs = self._limbs_to_felt(np.asarray(p[0]))
         ys = self._limbs_to_felt(np.asarray(p[1]))
         zs = self._limbs_to_felt(np.asarray(p[2]))
         if self.fdims == 1:
-            inv = fq_inv
             mul = lambda a, b: a * b % FQ_MOD
             is0 = lambda v: v == 0
+            live = [z for z in zs if not is0(z)]
+            invs = iter(batch_inv_mod(live, FQ_MOD))
+            inv = lambda z: next(invs)
         else:
-            from .bn254_host import _fq2_inv as inv, _fq2_mul as mul
+            from .bn254_host import _fq2_mul as mul
 
             is0 = lambda v: v[0] == 0 and v[1] == 0
+            # Fq2 inverse via one batched Fq inversion of the norms:
+            # (a+bu)^-1 = (a-bu)/(a^2+b^2)
+            norms = [(z[0] * z[0] + z[1] * z[1]) % FQ_MOD
+                     for z in zs if not is0(z)]
+            ninvs = iter(batch_inv_mod(norms, FQ_MOD))
+            inv = lambda z: (lambda ni: (z[0] * ni % FQ_MOD,
+                                         (FQ_MOD - z[1]) * ni % FQ_MOD))(
+                next(ninvs))
         out = []
         for x, y, z in zip(xs, ys, zs):
             if is0(z):

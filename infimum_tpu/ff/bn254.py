@@ -43,6 +43,21 @@ def fr_pow(a: int, e: int) -> int:
     return pow(a % FR_MOD, e, FR_MOD)
 
 
+def batch_inv_mod(vals: list[int], p: int) -> list[int]:
+    """Montgomery-trick batch inversion mod p: one modexp + 3 mulmods per
+    element instead of one modexp each. All vals must be nonzero mod p."""
+    m = len(vals)
+    pref = [1] * (m + 1)
+    for i, v in enumerate(vals):
+        pref[i + 1] = pref[i] * v % p
+    inv_all = pow(pref[m], p - 2, p)
+    out = [0] * m
+    for i in range(m - 1, -1, -1):
+        out[i] = pref[i] * inv_all % p
+        inv_all = inv_all * vals[i] % p
+    return out
+
+
 def fr_from_be_bytes_mod_order(b: bytes) -> int:
     """Match ark_ff's Fr::from_be_bytes_mod_order (reference: poll/state.rs:290)."""
     return int.from_bytes(b, "big") % FR_MOD

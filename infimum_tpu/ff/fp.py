@@ -146,6 +146,7 @@ class FpCtx:
         self.nprime_limbs = jnp.asarray(to_limbs(self.nprime))
         self.r2_limbs = jnp.asarray(to_limbs(self.R2))
         self.one_mont_int = self.R % modulus
+        self.r_inv = pow(self.R, -1, modulus)
         self.zero_limbs = jnp.asarray(to_limbs(0))
         self.one_mont = jnp.asarray(to_limbs(self.one_mont_int))
 
@@ -155,7 +156,7 @@ class FpCtx:
         return (x * self.R) % self.modulus
 
     def from_mont_int(self, x: int) -> int:
-        return (x * pow(self.R, -1, self.modulus)) % self.modulus
+        return (x * self.r_inv) % self.modulus
 
     # -- device ops (jnp, batched over leading dims) --------------------------
 

@@ -236,6 +236,45 @@ def _msm(points, scalars, curve=G1_DEV, lanes: int | None = None,
     return msm_device(pts, sc, curve=curve, lanes=lanes)
 
 
+def _msm_cached(pk: "ProvingKey", name: str, points, scalars, curve=G1_DEV):
+    """MSM over a proving-key query with the point encoding cached on the key.
+
+    The reference re-reads zkey sections per proof (snarkjs fullProve,
+    cli/src/utils.ts:69-92); here each query is encoded to device limb rows
+    once and every subsequent proof only ships scalars. Infinity entries are
+    masked by zeroing their scalars (digit-0 is dead in the kernel)."""
+    from ..utils.backend import platform, device_threshold
+
+    if platform() != "tpu" or len(points) < device_threshold():
+        return _msm(points, scalars, curve=curve)
+
+    import numpy as np
+    from ..ff.limbs import NLIMBS, batch_to_limbs
+    from ..msm import pallas_msm as PM
+
+    lanes = 1024 if curve.name == "g1" else 256
+    cache = pk.__dict__.setdefault("_enc_cache", {})
+    ent = cache.get(name)
+    if ent is None:
+        spec = PM._SPECS[curve.name]
+        none_idx = frozenset(i for i, p in enumerate(points) if p is None)
+        safe = (points if not none_idx else
+                [p if p is not None else (G1_GEN if curve.name == "g1"
+                                          else G2_GEN) for p in points])
+        n = len(points)
+        t = max(1, math.ceil(n / lanes))
+        t = 1 << (t - 1).bit_length()     # pow2: shared compile-cache entries
+        rows = np.zeros((t * lanes, spec.AF), np.uint32)
+        rows[:n] = spec.encode_affine_rows(safe)
+        ent = (rows, none_idx)
+        cache[name] = ent
+    rows, none_idx = ent
+    sc = [0 if i in none_idx else s % P for i, s in enumerate(scalars)]
+    scl = np.zeros((rows.shape[0], NLIMBS), np.uint32)
+    scl[:len(sc)] = batch_to_limbs(sc)
+    return PM.msm_pallas_rows(rows, scl, lanes, curve.name)
+
+
 def _sparse_rows(cs: ConstraintSystem):
     """Cached flattened A/B/C triples (incl. public rows) for device eval."""
     from .rowval import SparseRows
@@ -292,12 +331,12 @@ def prove(pk: ProvingKey, cs: ConstraintSystem, witness: list[int],
 
     h = compute_h(cs, witness)
 
-    a_acc = _msm(pk.a_query, witness)
-    b2_acc = _msm(pk.b_g2_query, witness, curve=G2_DEV)
-    b1_acc = _msm(pk.b_g1_query, witness)
+    a_acc = _msm_cached(pk, "a", pk.a_query, witness)
+    b2_acc = _msm_cached(pk, "b2", pk.b_g2_query, witness, curve=G2_DEV)
+    b1_acc = _msm_cached(pk, "b1", pk.b_g1_query, witness)
     npub = cs.num_public + 1
-    c_acc = _msm(pk.l_query, witness[npub:])
-    h_acc = _msm(pk.h_query, h)
+    c_acc = _msm_cached(pk, "l", pk.l_query, witness[npub:])
+    h_acc = _msm_cached(pk, "h", pk.h_query, h)
 
     # A = alpha + sum + r*delta
     pi_a = g1_add(g1_add(pk.alpha_g1, a_acc), g1_mul_fast(pk.delta_g1, r))
@@ -321,6 +360,21 @@ def prepare_inputs(vk: VerifyingKey, public_inputs: list[int]):
 
 
 def verify(vk: VerifyingKey, proof: Proof, public_inputs: list[int]) -> bool:
+    """Pairing check, preferring the native C++ Miller loop (native/src/
+    pairing.cc) — the Python tower-field pairing costs tens of seconds per
+    proof and is kept as the portable fallback / cross-check."""
+    from .. import native
+
+    if native.available():
+        from ..io.arkworks import serialize_vkey, serialize_proof
+
+        return native.groth16_verify(
+            serialize_vkey(vk), serialize_proof(proof),
+            [x % P for x in public_inputs])
+    return verify_py(vk, proof, public_inputs)
+
+
+def verify_py(vk: VerifyingKey, proof: Proof, public_inputs: list[int]) -> bool:
     from ..curve.pairing import multi_pairing_is_one
 
     ic = prepare_inputs(vk, public_inputs)

@@ -87,7 +87,8 @@ def _kernel(curve_name: str, c: int, n: int):
 
 
 def fixed_base_mul_batch(scalars, curve: CurveDev = G1_DEV, c: int = 8,
-                         chunk: int = 256, host_threshold: int | None = None):
+                         chunk: int | None = None,
+                         host_threshold: int | None = None):
     """[s * GEN for s in scalars] as host affine points (None for 0).
 
     Processes in fixed-size chunks so one compiled kernel shape serves every
@@ -95,9 +96,11 @@ def fixed_base_mul_batch(scalars, curve: CurveDev = G1_DEV, c: int = 8,
     table path: compiling the device kernel costs far more than the work
     (threshold defaults per platform — XLA:CPU compiles of the bignum graphs
     take minutes on small hosts, so CPU favors the host path much longer)."""
-    from ..utils.backend import device_threshold
+    from ..utils.backend import device_threshold, fixed_base_chunk
     from ..curve.bn254_host import fixed_base_mul_host
 
+    if chunk is None:
+        chunk = fixed_base_chunk()
     n = len(scalars)
     if n == 0:
         return []
@@ -108,8 +111,9 @@ def fixed_base_mul_batch(scalars, curve: CurveDev = G1_DEV, c: int = 8,
     sc = np.zeros((npad, NLIMBS), dtype=np.uint32)
     sc[:n] = batch_to_limbs([s % FR_MOD for s in scalars])
     kernel = _kernel(curve.name, c, chunk)
-    parts = []
-    for i in range(0, npad, chunk):
-        out = kernel(jnp.asarray(sc[i : i + chunk]))
-        parts.extend(curve.decode(out))
-    return parts[:n]
+    # enqueue every chunk first (async dispatch overlaps device work), then
+    # decode once so the batched Z-inversion amortizes over the full set
+    outs = [kernel(jnp.asarray(sc[i : i + chunk]))
+            for i in range(0, npad, chunk)]
+    stacked = tuple(jnp.concatenate([o[i] for o in outs]) for i in range(3))
+    return curve.decode(stacked)[:n]

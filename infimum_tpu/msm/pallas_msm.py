@@ -447,3 +447,17 @@ def msm_pallas(points, scalars, lanes: int = 1024, nwin: int = N_WINDOWS,
     fn = _msm_fn(T, W, nwin, interpret, curve)
     wins = fn(jnp.asarray(rows), jnp.asarray(sc))
     return combine_window_points(np.asarray(wins), curve)
+
+
+def msm_pallas_rows(rows, sc, lanes: int, curve: str = "g1",
+                    nwin: int = N_WINDOWS, interpret: bool = False):
+    """MSM from pre-encoded inputs: rows (Npad, AF) affine limb rows and
+    sc (Npad, 16) scalar limbs, Npad = T*lanes. The hot path for the Groth16
+    prover, whose five query point sets are fixed per key — encode once,
+    reuse every proof (scalar-0 entries are dead in the kernel, so padding
+    and masked-out points cost nothing but bandwidth)."""
+    assert lanes % 8 == 0 and rows.shape[0] == sc.shape[0]
+    T = rows.shape[0] // lanes
+    fn = _msm_fn(T, lanes // 8, nwin, interpret, curve)
+    wins = fn(jnp.asarray(rows), jnp.asarray(sc))
+    return combine_window_points(np.asarray(wins), curve)

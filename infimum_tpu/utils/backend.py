@@ -27,6 +27,16 @@ def device_threshold() -> int:
     return 128 if platform() == "tpu" else 4096
 
 
+def fixed_base_chunk() -> int:
+    """Batch size per fixed-base device call. Per-call dispatch through the
+    TPU runtime costs ~100ms, so TPU wants few large calls; XLA:CPU compile
+    time of the bignum graph scales with batch width, so CPU stays small."""
+    env = os.environ.get("INFIMUM_FIXED_BASE_CHUNK")
+    if env is not None:
+        return int(env)
+    return 8192 if platform() == "tpu" else 256
+
+
 def msm_lanes() -> int:
     """Vector width for the Pippenger accumulation scan: wide enough to fill
     the TPU VPU; narrow on CPU where each lane-add is dispatch-bound."""
