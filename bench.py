@@ -133,6 +133,7 @@ def main():
         "baseline_note": "reference publishes no numbers; proxy = 5e4 pts/s snarkjs-WASM",
     }
     record.update(bench_poseidon(on_tpu, reps))
+    record.update(bench_proof(on_tpu))
     print(json.dumps(record))
 
 
@@ -183,6 +184,32 @@ def bench_poseidon(on_tpu: bool, reps: int) -> dict:
         "poseidon_batch": b,
         "poseidon_kernel": kernel,
         "poseidon_correct": True,
+    }
+
+
+def bench_proof(on_tpu: bool) -> dict:
+    """End-to-end process+tally proof latency at the REFERENCE circuit
+    dimensions (BASELINE.md north star; reference flow cli/src/utils.ts:47-102
+    via snarkjs). Runs the full native pipeline — lifecycle, witness, device
+    NTT/MSM proving, native pairing verify, outcome — and reports the
+    witness+prove latency across all batches. Outcome correctness is asserted
+    inside; any failure aborts the bench with a nonzero exit.
+
+    TPU-only by default (the reference-size circuits are TPU-scale;
+    BENCH_PROOF=0/1 overrides)."""
+    flag = os.environ.get("BENCH_PROOF")
+    if (flag or ("1" if on_tpu else "0")) != "1":
+        return {}
+    from infimum_tpu.client.e2e import run_reference_e2e
+
+    t = run_reference_e2e(verbose=True)
+    return {
+        "proof_latency_s": t["proof_latency_s"],
+        "proof_setup_s": round(t["setup_process"] + t["setup_tally"], 3),
+        "proof_batches": t["num_proofs"],
+        "proof_outcome_ok": True,
+        "proof_phases": {k: v for k, v in t.items()
+                         if k.startswith(("prove_", "witness_", "setup_"))},
     }
 
 

@@ -18,6 +18,7 @@ arkworks verifier the pallet runs on-chain (pallet/src/lib.rs:815-827):
 
 from __future__ import annotations
 
+import functools
 import math
 import random
 from dataclasses import dataclass
@@ -161,7 +162,11 @@ def setup(cs: ConstraintSystem, rng: random.Random | None = None) -> ProvingKey:
             for i in range(npub)]
     l_s = [(beta * u[i] + alpha * v[i] + wpoly[i]) % P * delta_inv % P
            for i in range(npub, nv)]
-    h_s = [pow(tau, i, P) * zd % P for i in range(m - 1)]
+    h_s = [0] * (m - 1)          # tau^i * Z(tau)/delta, iterated (a modexp
+    acc = zd                     # per element costs minutes at m = 2^18)
+    for i in range(m - 1):
+        h_s[i] = acc
+        acc = acc * tau % P
     g1_scalars = ic_s + l_s + u + v + h_s
     g1_points = fixed_base_mul_batch(g1_scalars, curve=G1_DEV)
     ic = g1_points[:npub]
@@ -266,13 +271,29 @@ def _msm_cached(pk: "ProvingKey", name: str, points, scalars, curve=G1_DEV):
         t = 1 << (t - 1).bit_length()     # pow2: shared compile-cache entries
         rows = np.zeros((t * lanes, spec.AF), np.uint32)
         rows[:n] = spec.encode_affine_rows(safe)
-        ent = (rows, none_idx)
+        import jax.numpy as jnp
+
+        # device-resident: the rows (tens of MB) cross the host<->device
+        # boundary once per key, not once per proof
+        ent = (jnp.asarray(rows), none_idx)
         cache[name] = ent
     rows, none_idx = ent
+    import os
+    import time
+
+    t0 = time.perf_counter()
     sc = [0 if i in none_idx else s % P for i, s in enumerate(scalars)]
     scl = np.zeros((rows.shape[0], NLIMBS), np.uint32)
     scl[:len(sc)] = batch_to_limbs(sc)
-    return PM.msm_pallas_rows(rows, scl, lanes, curve.name)
+    t1 = time.perf_counter()
+    out = PM.msm_pallas_rows(rows, scl, lanes, curve.name)
+    if os.environ.get("INFIMUM_TRACE"):
+        import sys
+
+        print(f"  msm[{name}] n={len(scalars)} prep={t1-t0:.2f}s "
+              f"dev+combine={time.perf_counter()-t1:.2f}s",
+              file=sys.stderr, flush=True)
+    return out
 
 
 def _sparse_rows(cs: ConstraintSystem):
@@ -287,56 +308,100 @@ def _sparse_rows(cs: ConstraintSystem):
     return cached
 
 
+@functools.lru_cache(maxsize=None)
+def _h_graph(logm: int):
+    """One jitted graph for the whole H pipeline (3 iNTTs + 3 coset NTTs +
+    pointwise + final coset iNTT). Eager composition would dispatch every
+    field op separately — ruinous through the remote-device runtime."""
+    import jax
+    import jax.numpy as jnp
+    from ..ff.fp import FR_CTX
+    from ..ff.limbs import batch_to_limbs
+    from ..ntt.ntt import _ntt_core, _coset_consts
+
+    m = 1 << logm
+    z_inv = fr_inv((pow(COSET_GEN, m, P) - 1) % P)
+    zi = jnp.asarray(batch_to_limbs([FR_CTX.to_mont_int(z_inv)]))[0]
+
+    @jax.jit
+    def h_graph(a_e, b_e, c_e):
+        cfwd = jnp.asarray(_coset_consts(logm, COSET_GEN, False))
+        cinv = jnp.asarray(_coset_consts(logm, COSET_GEN, True))
+
+        def coset_fwd(x):
+            return _ntt_core(FR_CTX.mont_mul(x, cfwd), logm, False)
+
+        az = _ntt_core(a_e, logm, True)
+        bz = _ntt_core(b_e, logm, True)
+        cz = _ntt_core(c_e, logm, True)
+        prod = FR_CTX.sub(
+            FR_CTX.mont_mul(coset_fwd(az), coset_fwd(bz)), coset_fwd(cz))
+        h_evals = FR_CTX.mont_mul(prod, zi[None, :])
+        return FR_CTX.mont_mul(_ntt_core(h_evals, logm, True), cinv)
+
+    return h_graph
+
+
 def compute_h(cs: ConstraintSystem, witness: list[int]) -> list[int]:
     """Coefficients of h(x) = (a(x) b(x) - c(x)) / Z(x) via device coset NTT.
 
     Row evaluation (a|_H, b|_H, c|_H) runs on the device as batched sparse
-    matvecs (groth16/rowval.py) instead of per-term Python bigints."""
+    matvecs (groth16/rowval.py) instead of per-term Python bigints; the NTT
+    pipeline is a single jit call (_h_graph)."""
+    import os
     import numpy as np
-    import jax.numpy as jnp
     from ..ff.fp import FR_CTX
-    from ..ff.limbs import batch_to_limbs
-    from ..ntt.ntt import intt_device, coset_ntt_device, coset_intt_device
+    from ..utils.profiling import Stopwatch
     from .rowval import eval_rows_device
 
+    sw = Stopwatch()
     m = _domain_size(cs)
     logm = m.bit_length() - 1
 
-    a_e, b_e, c_e = eval_rows_device(_sparse_rows(cs), witness, m)
+    with sw.stage("sparse_rows"):
+        sp = _sparse_rows(cs)
+    with sw.stage("eval_rows"):
+        a_e, b_e, c_e = eval_rows_device(sp, witness, m)
+    with sw.stage("ntts"):
+        h = _h_graph(logm)(a_e, b_e, c_e)
+    with sw.stage("h_decode"):
+        h_ints = FR_CTX.decode(np.asarray(h))
+    if os.environ.get("INFIMUM_TRACE"):
+        import sys
 
-    def enc(vals):
-        return jnp.asarray(batch_to_limbs([FR_CTX.to_mont_int(x) for x in vals]))
-
-    az = intt_device(a_e, logm)
-    bz = intt_device(b_e, logm)
-    cz = intt_device(c_e, logm)
-    ac = coset_ntt_device(az, logm, COSET_GEN)
-    bc = coset_ntt_device(bz, logm, COSET_GEN)
-    cc = coset_ntt_device(cz, logm, COSET_GEN)
-    prod = FR_CTX.sub(FR_CTX.mont_mul(ac, bc), cc)
-    z_inv = fr_inv((pow(COSET_GEN, m, P) - 1) % P)
-    zi = enc([z_inv])[0]
-    h_evals = FR_CTX.mont_mul(prod, zi[None, :])
-    h = coset_intt_device(h_evals, logm, COSET_GEN)
-    h_ints = FR_CTX.decode(np.asarray(h))
+        print(sw.report(), file=sys.stderr, flush=True)
     assert h_ints[m - 1] == 0, "h has unexpected degree"
     return h_ints[: m - 1]
 
 
 def prove(pk: ProvingKey, cs: ConstraintSystem, witness: list[int],
           rng: random.Random | None = None) -> Proof:
+    import os
+    from ..utils.profiling import Stopwatch
+
+    sw = Stopwatch()
     rng = rng or random.SystemRandom()
     r = rng.randrange(P)
     s = rng.randrange(P)
 
-    h = compute_h(cs, witness)
+    with sw.stage("compute_h"):
+        h = compute_h(cs, witness)
 
-    a_acc = _msm_cached(pk, "a", pk.a_query, witness)
-    b2_acc = _msm_cached(pk, "b2", pk.b_g2_query, witness, curve=G2_DEV)
-    b1_acc = _msm_cached(pk, "b1", pk.b_g1_query, witness)
+    with sw.stage("msm_a"):
+        a_acc = _msm_cached(pk, "a", pk.a_query, witness)
+    with sw.stage("msm_b2"):
+        b2_acc = _msm_cached(pk, "b2", pk.b_g2_query, witness, curve=G2_DEV)
+    with sw.stage("msm_b1"):
+        b1_acc = _msm_cached(pk, "b1", pk.b_g1_query, witness)
     npub = cs.num_public + 1
-    c_acc = _msm_cached(pk, "l", pk.l_query, witness[npub:])
-    h_acc = _msm_cached(pk, "h", pk.h_query, h)
+    with sw.stage("msm_l"):
+        c_acc = _msm_cached(pk, "l", pk.l_query, witness[npub:])
+    with sw.stage("msm_h"):
+        h_acc = _msm_cached(pk, "h", pk.h_query, h)
+    if os.environ.get("INFIMUM_TRACE"):
+        import sys
+
+        print(sw.report(), file=sys.stderr, flush=True)
 
     # A = alpha + sum + r*delta
     pi_a = g1_add(g1_add(pk.alpha_g1, a_acc), g1_mul_fast(pk.delta_g1, r))

@@ -48,6 +48,31 @@ def test_intt_host_consistency():
     assert intt_host(ntt_host(values)) == values
 
 
+def test_sharded_tree_binary_8dev(mesh):
+    """Distributed binary Merkle build over all 8 devices (3 sharded levels
+    + 2 local), bit-exact vs the dense host tree (parallel/tree.py)."""
+    from infimum_tpu.parallel.tree import sharded_tree_root, host_tree_root
+    from infimum_tpu.tree.full import FullTree
+
+    rng = random.Random(11)
+    leaves = [rng.randrange(FR_MOD) for _ in range(23)]   # partial fill
+    got = sharded_tree_root(mesh, "dp", arity=2, depth=5, leaves=leaves)
+    assert got == host_tree_root(2, 5, leaves)
+    assert got == FullTree(2, 5, 0, leaves).root
+
+
+def test_sharded_tree_quinary_5dev():
+    """Quinary build on a 5-device submesh (mesh axis = tree arity)."""
+    from infimum_tpu.parallel.tree import sharded_tree_root, host_tree_root
+
+    devs = jax.devices()[:5]
+    mesh5 = Mesh(np.array(devs), ("dp",))
+    rng = random.Random(12)
+    leaves = [rng.randrange(FR_MOD) for _ in range(101)]  # partial fill
+    got = sharded_tree_root(mesh5, "dp", arity=5, depth=3, leaves=leaves)
+    assert got == host_tree_root(5, 3, leaves)
+
+
 def test_msm_sharded_matches_host(mesh):
     # c=4, lanes=2, 16 points: the exact kernel shape the driver's
     # dryrun_multichip compiles, so the two share one XLA compile-cache entry
