@@ -52,21 +52,37 @@ def _mul_columns(a, b, ncols):
     Returns (..., ncols) uint32 where col[k] = sum_{i+j=k} lo(a_i*b_j)
     + sum_{i+j=k-1} hi(a_i*b_j); every column < 2^21 so uint32 is exact.
 
-    The scatter-and-sum over half-products is a single f32 matmul: all inputs
-    are < 2^16 and every column accumulates <= 32 of them (< 2^21 < 2^24), so
-    f32 accumulation is exact — and on TPU this lands on the MXU.
+    TPU: the scatter-and-sum over half-products is a single f32 matmul — all
+    inputs are < 2^16 and every column accumulates <= 32 of them
+    (< 2^21 < 2^24), so f32 accumulation is exact, and it lands on the MXU.
+    Precision=HIGHEST is load-bearing: the default MXU lowering uses bf16
+    passes (~8 mantissa bits), which silently destroys the integers.
+    HIGHEST forces the multi-pass f32-exact lowering (verified bit-exact
+    against python ints on a real v5e chip).
 
-    Precision=HIGHEST is load-bearing: on TPU the MXU lowers f32 matmuls to
-    bf16 passes by default (~8 mantissa bits), which silently destroys the
-    integers. HIGHEST forces the multi-pass f32-exact lowering (verified
-    bit-exact against python ints on a real v5e chip).
+    CPU: the same reduction as 2L shifted integer adds — XLA:CPU spends
+    seconds compiling every small constant-matrix matmul (a single jit of
+    the MSM window kernel took 200+s), while the pad+add form is trivial.
     """
+    from ..utils.backend import platform
+
     p = a[..., :, None] * b[..., None, :]          # (..., L, L) exact in uint32
-    lo = (p & LIMB_MASK).astype(jnp.float32)
-    hi = (p >> LIMB_BITS).astype(jnp.float32)
+    lo = p & LIMB_MASK
+    hi = p >> LIMB_BITS
+    if platform() != "tpu":
+        batch = p.shape[:-2]
+        cols = jnp.zeros((*batch, ncols), _U32)
+        for i in range(NLIMBS):
+            for half, off in ((lo, i), (hi, i + 1)):
+                w = min(NLIMBS, ncols - off)
+                if w <= 0:
+                    continue
+                pad = [(0, 0)] * len(batch) + [(off, ncols - off - w)]
+                cols = cols + jnp.pad(half[..., i, :w], pad)
+        return cols
     flat = jnp.concatenate(
-        [lo.reshape(*p.shape[:-2], NLIMBS * NLIMBS),
-         hi.reshape(*p.shape[:-2], NLIMBS * NLIMBS)],
+        [lo.astype(jnp.float32).reshape(*p.shape[:-2], NLIMBS * NLIMBS),
+         hi.astype(jnp.float32).reshape(*p.shape[:-2], NLIMBS * NLIMBS)],
         axis=-1,
     )
     cols = jnp.dot(

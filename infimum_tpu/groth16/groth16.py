@@ -140,6 +140,10 @@ def qap_polys_at_tau(cs: ConstraintSystem, tau: int):
 
 
 def setup(cs: ConstraintSystem, rng: random.Random | None = None) -> ProvingKey:
+    import os
+    from ..utils.profiling import Stopwatch
+
+    sw = Stopwatch()
     rng = rng or random.SystemRandom()
     tau = rng.randrange(1, P)
     alpha = rng.randrange(1, P)
@@ -147,7 +151,8 @@ def setup(cs: ConstraintSystem, rng: random.Random | None = None) -> ProvingKey:
     gamma = rng.randrange(1, P)
     delta = rng.randrange(1, P)
 
-    u, v, wpoly, z_tau, m = qap_polys_at_tau(cs, tau)
+    with sw.stage("qap_polys"):
+        u, v, wpoly, z_tau, m = qap_polys_at_tau(cs, tau)
     nv = cs.num_vars
     gamma_inv = fr_inv(gamma)
     delta_inv = fr_inv(delta)
@@ -168,14 +173,20 @@ def setup(cs: ConstraintSystem, rng: random.Random | None = None) -> ProvingKey:
         h_s[i] = acc
         acc = acc * tau % P
     g1_scalars = ic_s + l_s + u + v + h_s
-    g1_points = fixed_base_mul_batch(g1_scalars, curve=G1_DEV)
+    with sw.stage("fixed_base_g1"):
+        g1_points = fixed_base_mul_batch(g1_scalars, curve=G1_DEV)
     ic = g1_points[:npub]
     l_query = g1_points[npub:npub + len(l_s)]
     off = npub + len(l_s)
     a_query = g1_points[off:off + nv]
     b_g1_query = g1_points[off + nv:off + 2 * nv]
     h_query = g1_points[off + 2 * nv:]
-    b_g2_query = fixed_base_mul_batch(v, curve=G2_DEV)
+    with sw.stage("fixed_base_g2"):
+        b_g2_query = fixed_base_mul_batch(v, curve=G2_DEV)
+    if os.environ.get("INFIMUM_TRACE"):
+        import sys
+
+        print(sw.report(), file=sys.stderr, flush=True)
 
     vk = VerifyingKey(
         alpha_g1=g1_mul_fast(G1_GEN, alpha),
@@ -312,34 +323,39 @@ def _sparse_rows(cs: ConstraintSystem):
 def _h_graph(logm: int):
     """One jitted graph for the whole H pipeline (3 iNTTs + 3 coset NTTs +
     pointwise + final coset iNTT). Eager composition would dispatch every
-    field op separately — ruinous through the remote-device runtime."""
+    field op separately — ruinous through the remote-device runtime. All
+    twiddle/coset tables enter as runtime arguments (device-resident, bound
+    here) so the HLO carries no multi-MB literals."""
     import jax
     import jax.numpy as jnp
     from ..ff.fp import FR_CTX
     from ..ff.limbs import batch_to_limbs
-    from ..ntt.ntt import _ntt_core, _coset_consts
+    from ..ntt.ntt import _ntt_core, _coset_consts_dev, _stage_consts_dev
 
     m = 1 << logm
     z_inv = fr_inv((pow(COSET_GEN, m, P) - 1) % P)
     zi = jnp.asarray(batch_to_limbs([FR_CTX.to_mont_int(z_inv)]))[0]
+    consts = (_coset_consts_dev(logm, COSET_GEN, False),
+              _coset_consts_dev(logm, COSET_GEN, True),
+              *_stage_consts_dev(logm, False),
+              *_stage_consts_dev(logm, True))
 
     @jax.jit
-    def h_graph(a_e, b_e, c_e):
-        cfwd = jnp.asarray(_coset_consts(logm, COSET_GEN, False))
-        cinv = jnp.asarray(_coset_consts(logm, COSET_GEN, True))
+    def h_graph(a_e, b_e, c_e, cfwd, cinv, revf, twf, nif, revi, twi, nii):
+        def intt(x):
+            return _ntt_core(x, logm, True, revi, twi, nii)
 
         def coset_fwd(x):
-            return _ntt_core(FR_CTX.mont_mul(x, cfwd), logm, False)
+            return _ntt_core(FR_CTX.mont_mul(x, cfwd), logm, False,
+                             revf, twf, nif)
 
-        az = _ntt_core(a_e, logm, True)
-        bz = _ntt_core(b_e, logm, True)
-        cz = _ntt_core(c_e, logm, True)
         prod = FR_CTX.sub(
-            FR_CTX.mont_mul(coset_fwd(az), coset_fwd(bz)), coset_fwd(cz))
+            FR_CTX.mont_mul(coset_fwd(intt(a_e)), coset_fwd(intt(b_e))),
+            coset_fwd(intt(c_e)))
         h_evals = FR_CTX.mont_mul(prod, zi[None, :])
-        return FR_CTX.mont_mul(_ntt_core(h_evals, logm, True), cinv)
+        return FR_CTX.mont_mul(intt(h_evals), cinv)
 
-    return h_graph
+    return lambda a_e, b_e, c_e: h_graph(a_e, b_e, c_e, *consts)
 
 
 def compute_h(cs: ConstraintSystem, witness: list[int]) -> list[int]:

@@ -51,7 +51,7 @@ def _ntt_local(a, logn: int, invert: bool, axis: int):
     XLA sees log2(n) reshaped butterfly stages of batched field ops.
     """
     n = 1 << logn
-    rev, twiddles, n_inv = _stage_consts(logn, invert)
+    rev, tw_flat, n_inv = _stage_consts(logn, invert)
     nd = a.ndim - 1  # data dims (last dim is limbs)
     if axis < 0:
         axis += nd
@@ -64,7 +64,7 @@ def _ntt_local(a, logn: int, invert: bool, axis: int):
     for s in range(1, logn + 1):
         length = 1 << s
         half = length // 2
-        tw = jnp.asarray(twiddles[s - 1])  # (half, NLIMBS)
+        tw = jnp.asarray(tw_flat[half - 1:length - 1])  # (half, NLIMBS)
         blocks = a.reshape(-1, n // length, length, NLIMBS)
         even = blocks[:, :, :half]
         odd = blocks[:, :, half:]

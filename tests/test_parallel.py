@@ -48,6 +48,22 @@ def test_intt_host_consistency():
     assert intt_host(ntt_host(values)) == values
 
 
+def test_distributed_backend_single_process(mesh):
+    """parallel/distributed.py helpers in the single-process degenerate
+    case: no-op initialize, flat proving mesh, global_array placement."""
+    from infimum_tpu.parallel.distributed import (
+        initialize, proving_mesh, host_shard, global_array,
+    )
+
+    assert initialize() is False            # no coordinator configured
+    m = proving_mesh(devices=jax.devices()[:8])
+    assert m.shape["dp"] == 8
+    assert host_shard(64) == slice(0, 64)
+    arr = global_array(np.arange(64, dtype=np.uint32).reshape(8, 8), m)
+    assert arr.shape == (8, 8)
+    assert len(arr.sharding.device_set) == 8
+
+
 def test_sharded_tree_binary_8dev(mesh):
     """Distributed binary Merkle build over all 8 devices (3 sharded levels
     + 2 local), bit-exact vs the dense host tree (parallel/tree.py)."""
