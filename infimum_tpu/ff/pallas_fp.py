@@ -36,6 +36,13 @@ def _column_matrix_T(ncols: int) -> np.ndarray:
     return np.ascontiguousarray(_column_matrix(ncols).T)
 
 
+def _last_row(x):
+    """x[-1] without integer indexing: Mosaic lowers value integer indexing
+    to dynamic_slice, which has no TPU kernel rule; static slice+squeeze do."""
+    return jax.lax.squeeze(
+        jax.lax.slice_in_dim(x, x.shape[0] - 1, x.shape[0], axis=0), (0,))
+
+
 def _carry_T(cols, nout):
     """Carry propagation along axis 0; returns ((nout, B) limbs, (B,) carry).
 
@@ -70,7 +77,8 @@ def _carry_T(cols, nout):
         shift *= 2
     carry_in = shift_up(g)
     out = (a + b + carry_in) & LIMB_MASK
-    carry_out = (c[-1] + (v[-1] >> LIMB_BITS) + g[-1]).astype(_U32)
+    carry_out = (_last_row(c) + (_last_row(v) >> LIMB_BITS)
+                 + _last_row(g)).astype(_U32)
     return out, carry_out
 
 
@@ -116,8 +124,12 @@ class FpCtxT:
         """Schoolbook product columns: (L, B) x (L, B) -> (ncols, B)."""
         L, B = a.shape
         p = a[:, None, :] * b[None, :, :]               # (L, L, B) exact u32
-        lo = (p & LIMB_MASK).astype(jnp.float32).reshape(L * L, B)
-        hi = (p >> LIMB_BITS).astype(jnp.float32).reshape(L * L, B)
+        # u32 -> i32 -> f32: Mosaic has no direct u32<->f32 cast, and all
+        # values here are < 2^21, so the i32 hop is value-preserving.
+        lo = (p & LIMB_MASK).astype(jnp.int32) \
+            .astype(jnp.float32).reshape(L * L, B)
+        hi = (p >> LIMB_BITS).astype(jnp.int32) \
+            .astype(jnp.float32).reshape(L * L, B)
         flat = jnp.concatenate([lo, hi], axis=0)        # (2L^2, B)
         m = self.m16 if ncols == NLIMBS else self.m32
         cols = jax.lax.dot_general(
@@ -128,7 +140,7 @@ class FpCtxT:
             # which breaks the <2^21 integer-exactness contract (ff/fp.py).
             precision=jax.lax.Precision.HIGHEST,
         )
-        return cols.astype(_U32)
+        return cols.astype(jnp.int32).astype(_U32)
 
     def _cond_sub_n(self, r, carry):
         d, borrow = _sub_borrow_T(r, jnp.asarray(self.n))

@@ -61,50 +61,58 @@ def _params_limb_major(t: int):
     return ark_arr, mds_arr, is_full
 
 
-def _perm_body(state, t, F, ark, is_full):
-    """The permutation on a (t, NLIMBS, B) block; traced inside the kernel.
-    F is a bound FpCtxT; ark (rounds, t, NLIMBS, 1), is_full (rounds, 1)."""
+def _perm_body(state, t, F, load_ark, load_mds, r_p):
+    """The permutation on a t-tuple of (NLIMBS, B) blocks, traced inside the
+    kernel. F is a bound FpCtxT; load_ark(r, i) -> (NLIMBS, 1) round constant
+    (r may be a traced index), load_mds(i, j) -> (NLIMBS, 1).
+
+    Three fori_loop phases (full/partial/full) instead of one lax.scan over
+    per-round constants: Mosaic cannot lower scans with extensive inputs
+    (nor dynamic_slice on values) inside a pallas_call, so constants are
+    fetched by indexing their *refs* — dynamic on the round axis, static
+    elsewhere — and the state stays a tuple (value integer-indexing would
+    also hit dynamic_slice). The static phase split removes the per-element
+    full/partial select."""
 
     def sbox(x):
         x2 = F.mont_sqr(x)
         x4 = F.mont_sqr(x2)
         return F.mont_mul(x4, x)
 
-    def body(s, xs):
-        ark_r, full = xs
-        parts = []
-        for i in range(t):
-            x = F.add(s[i], jnp.broadcast_to(ark_r[i], s[i].shape))
-            x5 = sbox(x)
-            # partial rounds S-box only element 0
-            parts.append(x5 if i == 0 else jnp.where(full[0] != 0, x5, x))
-        return jnp.stack(parts), None
+    def phase(full: bool):
+        def round_fn(r, s):
+            parts = []
+            for i in range(t):
+                x = F.add(s[i], jnp.broadcast_to(load_ark(r, i), s[i].shape))
+                # partial rounds S-box only element 0 (static per phase)
+                parts.append(sbox(x) if (full or i == 0) else x)
+            acc = [None] * t
+            for i in range(t):
+                for j in range(t):
+                    p = F.mont_mul(
+                        jnp.broadcast_to(load_mds(i, j), parts[j].shape),
+                        parts[j])
+                    acc[i] = p if acc[i] is None else F.add(acc[i], p)
+            return tuple(acc)
 
-    def mds_round(s, ark_r, full):
-        parts, _ = body(s, (ark_r, full))
-        acc = [None] * t
-        mds = F.mds  # (t, t, NLIMBS, 1), bound alongside the field consts
-        for i in range(t):
-            for j in range(t):
-                p = F.mont_mul(
-                    jnp.broadcast_to(mds[i, j], parts[j].shape), parts[j])
-                acc[i] = p if acc[i] is None else F.add(acc[i], p)
-        return jnp.stack(acc)
+        return round_fn
 
-    def scan_body(s, xs):
-        ark_r, full = xs
-        return mds_round(s, ark_r, full), None
-
-    out, _ = jax.lax.scan(scan_body, state, (ark, is_full))
-    return out
+    half = FULL_ROUNDS // 2
+    s = jax.lax.fori_loop(0, half, phase(True), state)
+    s = jax.lax.fori_loop(half, half + r_p, phase(False), s)
+    return jax.lax.fori_loop(half + r_p, half + r_p + half, phase(True), s)
 
 
-def _perm_kernel(t: int):
-    def kernel(state_ref, ark_ref, full_ref, mds_ref,
+def _perm_kernel(t: int, r_p: int):
+    def kernel(state_ref, ark_ref, mds_ref,
                n_ref, nprime_ref, m16_ref, m32_ref, out_ref):
         F = FR_CTX_T.bind(n_ref[:], nprime_ref[:], m16_ref[:], m32_ref[:])
-        F.mds = mds_ref[:]
-        out_ref[:] = _perm_body(state_ref[:], t, F, ark_ref[:], full_ref[:])
+        state = tuple(state_ref[i] for i in range(t))
+        out = _perm_body(state, t, F,
+                         lambda r, i: ark_ref[r, i],
+                         lambda i, j: mds_ref[i, j], r_p)
+        for i in range(t):
+            out_ref[i] = out[i]
 
     return kernel
 
@@ -115,15 +123,14 @@ def _perm_call(state, t: int, interpret: bool):
     b = state.shape[2]
     blk = _lane_block()
     grid = b // blk
-    ark, mds, is_full = _params_limb_major(t)
+    ark, mds, _ = _params_limb_major(t)
     consts = FR_CTX_T.consts()
-    operands = (state, ark, is_full.astype(np.uint32).reshape(-1, 1), mds,
-                *consts)
+    operands = (state, ark, mds, *consts)
     in_specs = [pl.BlockSpec((t, NLIMBS, blk), lambda i: (0, 0, i))]
     in_specs += [pl.BlockSpec(o.shape, lambda i, nd=o.ndim: (0,) * nd)
                  for o in operands[1:]]
     return pl.pallas_call(
-        _perm_kernel(t),
+        _perm_kernel(t, PARTIAL_ROUNDS[t - 2]),
         out_shape=jax.ShapeDtypeStruct((t, NLIMBS, b), jnp.uint32),
         grid=(grid,),
         in_specs=in_specs,
