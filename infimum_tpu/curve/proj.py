@@ -25,24 +25,20 @@ from ..ff.limbs import NLIMBS, to_limbs, batch_from_limbs
 from .bn254_host import B2, g1_add, g1_double, g1_mul, g2_add, g2_double, g2_mul
 
 
-def _mul_by_9(F, x):
-    """9x via adds (G1 has b=3, so b3=9)."""
-    x2 = F.add(x, x)
-    x4 = F.add(x2, x2)
-    x8 = F.add(x4, x4)
-    return F.add(x8, x)
-
-
 class CurveDev:
     """Device ops for one curve; `fdims` = number of trailing field-elem dims."""
 
-    def __init__(self, F, fdims, b3_mul, one_mont_np, host_ops, name):
+    def __init__(self, F, fdims, b3_np, one_mont_np, host_ops, name):
         self.F = F
         self.fdims = fdims
-        self._b3 = b3_mul
+        self._b3_np = b3_np         # np array, trailing field shape: 3b Montgomery
         self._one_np = one_mont_np  # np array, trailing field shape
         self.host_add, self.host_double, self.host_mul = host_ops
         self.name = name
+
+    def _b3c(self, like):
+        """b3 = 3b as a constant field element broadcast to `like`'s shape."""
+        return jnp.broadcast_to(jnp.asarray(self._b3_np), like.shape)
 
     # -- point constructors ---------------------------------------------------
 
@@ -62,45 +58,57 @@ class CurveDev:
         return tuple(F.select(cond, a, b) for a, b in zip(p, q))
 
     # -- RCB complete addition (a = 0), Alg. 7 --------------------------------
+    #
+    # Every mul/add/sub below is a *batched group* over a stacked leading
+    # axis: the 12+ Montgomery muls collapse into 3 mont_mul instances and
+    # the ~15 field adds/subs into ~6 instances. XLA compile time — the
+    # binding constraint for these bignum kernels, ~1.3s per field-op
+    # *instance* on XLA:CPU regardless of batch width — drops ~6x, and on
+    # TPU the wider limb matmuls utilize the MXU better. The b3 (=3b)
+    # scalings are folded into mul groups: b3*Z1Z2 is computed inside group
+    # 1, and the two products involving b3*Y3 are computed with unscaled Y3
+    # and rescaled afterwards in one 2-wide constant-mul group (field
+    # scalars commute through the products).
+
+    def _gmul(self, lhs, rhs):
+        out = self.F.mont_mul(jnp.stack(lhs), jnp.stack(rhs))
+        return tuple(out[i] for i in range(len(lhs)))
+
+    def _gadd(self, lhs, rhs):
+        out = self.F.add(jnp.stack(lhs), jnp.stack(rhs))
+        return tuple(out[i] for i in range(len(lhs)))
+
+    def _gsub(self, lhs, rhs):
+        out = self.F.sub(jnp.stack(lhs), jnp.stack(rhs))
+        return tuple(out[i] for i in range(len(lhs)))
 
     def add(self, p, q):
         F = self.F
         X1, Y1, Z1 = p
         X2, Y2, Z2 = q
-        t0 = F.mont_mul(X1, X2)
-        t1 = F.mont_mul(Y1, Y2)
-        t2 = F.mont_mul(Z1, Z2)
-        t3 = F.add(X1, Y1)
-        t4 = F.add(X2, Y2)
-        t3 = F.mont_mul(t3, t4)
-        t4 = F.add(t0, t1)
-        t3 = F.sub(t3, t4)
-        t4 = F.add(Y1, Z1)
-        X3 = F.add(Y2, Z2)
-        t4 = F.mont_mul(t4, X3)
-        X3 = F.add(t1, t2)
-        t4 = F.sub(t4, X3)
-        X3 = F.add(X1, Z1)
-        Y3 = F.add(X2, Z2)
-        X3 = F.mont_mul(X3, Y3)
-        Y3 = F.add(t0, t2)
-        Y3 = F.sub(X3, Y3)
-        X3 = F.add(t0, t0)
-        t0 = F.add(X3, t0)
-        t2 = self._b3(F, t2)
-        Z3 = F.add(t1, t2)
-        t1 = F.sub(t1, t2)
-        Y3 = self._b3(F, Y3)
-        X3 = F.mont_mul(t4, Y3)
-        t2 = F.mont_mul(t3, t1)
-        X3 = F.sub(t2, X3)
-        Y3 = F.mont_mul(Y3, t0)
-        t1 = F.mont_mul(t1, Z3)
-        Y3 = F.add(t1, Y3)
-        t0 = F.mont_mul(t0, t3)
-        Z3 = F.mont_mul(Z3, t4)
-        Z3 = F.add(Z3, t0)
-        return (X3, Y3, Z3)
+        b3 = self._b3c(X1)
+        a1, a2, a3, b1, b2, b31 = self._gadd(
+            (X1, Y1, X1, X2, Y2, X2), (Y1, Z1, Z1, Y2, Z2, Z2))
+        # group 1: the 6 RCB products + b3*Z1Z2 as (b3*Z1)*Z2 is not
+        # possible pre-mul, so fold it as a 7th product (b3, Z1Z2) later;
+        # instead compute Z1*Z2 and scale in the const group below.
+        t0, t1, t2, s3, s4, s5 = self._gmul(
+            (X1, Y1, Z1, a1, a2, a3), (X2, Y2, Z2, b1, b2, b31))
+        # const-mul group: t2b = b3*Z1Z2 (needed before group 2)
+        (t2b,) = self._gmul((t2,), (b3,))
+        u1, u2, u3, X3, Z3 = self._gadd(
+            (t0, t1, t0, t0, t1), (t1, t2, t2, t0, t2b))
+        t3, t4, Y3u, t1n = self._gsub((s3, s4, s5, t1), (u1, u2, u3, t2b))
+        t0n = F.add(X3, t0)
+        # group 2 with UNSCALED Y3u; p0 = t4*Y3u and p2 = Y3u*t0n are
+        # rescaled by b3 afterwards (b3 commutes through the product)
+        p0, p1, p2, p3, p4, p5 = self._gmul(
+            (t4, t3, Y3u, t1n, t0n, Z3), (Y3u, t1n, t0n, Z3, t3, t4))
+        q0, q2 = self._gmul((p0, p2), (b3, b3))
+        X3o = F.sub(p1, q0)
+        Y3o = F.add(p3, q2)
+        Z3o = F.add(p5, p4)
+        return (X3o, Y3o, Z3o)
 
     # -- RCB mixed addition (Q affine, never infinity), Alg. 8 ----------------
 
@@ -108,33 +116,22 @@ class CurveDev:
         F = self.F
         X1, Y1, Z1 = p
         X2, Y2 = q_aff
-        t0 = F.mont_mul(X1, X2)
-        t1 = F.mont_mul(Y1, Y2)
-        t3 = F.add(X2, Y2)
-        t4 = F.add(X1, Y1)
-        t3 = F.mont_mul(t3, t4)
-        t4 = F.add(t0, t1)
-        t3 = F.sub(t3, t4)
-        t4 = F.mont_mul(Y2, Z1)
-        t4 = F.add(t4, Y1)
-        Y3 = F.mont_mul(X2, Z1)
-        Y3 = F.add(Y3, X1)
-        X3 = F.add(t0, t0)
-        t0 = F.add(X3, t0)
-        t2 = self._b3(F, Z1)
-        Z3 = F.add(t1, t2)
-        t1 = F.sub(t1, t2)
-        Y3 = self._b3(F, Y3)
-        X3 = F.mont_mul(t4, Y3)
-        t2 = F.mont_mul(t3, t1)
-        X3 = F.sub(t2, X3)
-        Y3 = F.mont_mul(Y3, t0)
-        t1 = F.mont_mul(t1, Z3)
-        Y3 = F.add(t1, Y3)
-        t0 = F.mont_mul(t0, t3)
-        Z3 = F.mont_mul(Z3, t4)
-        Z3 = F.add(Z3, t0)
-        return (X3, Y3, Z3)
+        b3 = self._b3c(X1)
+        a1, b1 = self._gadd((X1, X2), (Y1, Y2))
+        # group 1: 5 RCB products + t2 = b3*Z1 folded as a 6th product
+        t0, t1, s2, s3, s4, t2 = self._gmul(
+            (X1, Y1, a1, Z1, Z1, Z1), (X2, Y2, b1, Y2, X2, b3))
+        u1, t4, Y3u0, X3, Z3 = self._gadd(
+            (t0, s3, s4, t0, t1), (t1, Y1, X1, t0, t2))
+        t3, t1n = self._gsub((s2, t1), (u1, t2))
+        t0n = F.add(X3, t0)
+        p0, p1, p2, p3, p4, p5 = self._gmul(
+            (t4, t3, Y3u0, t1n, t0n, Z3), (Y3u0, t1n, t0n, Z3, t3, t4))
+        q0, q2 = self._gmul((p0, p2), (b3, b3))
+        X3o = F.sub(p1, q0)
+        Y3o = F.add(p3, q2)
+        Z3o = F.add(p5, p4)
+        return (X3o, Y3o, Z3o)
 
     def neg(self, p):
         x, y, z = p
@@ -220,19 +217,11 @@ class CurveDev:
         return self.decode(tuple(np.asarray(c)[None] for c in p))[0]
 
 
-def _b3_g2():
-    b3 = (3 * B2[0] % FQ_MOD, 3 * B2[1] % FQ_MOD)
-    limbs = np.stack([to_limbs(FQ_CTX.to_mont_int(c)) for c in b3])
-    arr = jnp.asarray(limbs)
-
-    def mul(F, x):
-        return F.mont_mul(x, jnp.broadcast_to(arr, x.shape))
-
-    return mul
-
+_B3_FQ = to_limbs(FQ_CTX.to_mont_int(9))      # G1: b = 3, so b3 = 9
+_B3_FQ2 = np.stack([to_limbs(FQ_CTX.to_mont_int(3 * c % FQ_MOD)) for c in B2])
 
 _ONE_FQ = to_limbs(FQ_CTX.one_mont_int)
 _ONE_FQ2 = np.stack([_ONE_FQ, np.zeros_like(_ONE_FQ)])
 
-G1_DEV = CurveDev(FQ_CTX, 1, _mul_by_9, _ONE_FQ, (g1_add, g1_double, g1_mul), "g1")
-G2_DEV = CurveDev(FQ2_CTX, 2, _b3_g2(), _ONE_FQ2, (g2_add, g2_double, g2_mul), "g2")
+G1_DEV = CurveDev(FQ_CTX, 1, _B3_FQ, _ONE_FQ, (g1_add, g1_double, g1_mul), "g1")
+G2_DEV = CurveDev(FQ2_CTX, 2, _B3_FQ2, _ONE_FQ2, (g2_add, g2_double, g2_mul), "g2")

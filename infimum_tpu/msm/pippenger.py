@@ -54,20 +54,6 @@ def msm_host(points, scalars):
 
 # -- device kernel ------------------------------------------------------------
 
-def _suffix_scan(curve: CurveDev, pts, log2p: int):
-    """Inclusive suffix sums S_i = sum_{k>=i} pts_k over a pow2-length axis 0."""
-    p_len = pts[0].shape[0]
-    idx = jnp.arange(p_len)
-
-    def body(j, p):
-        s = jnp.left_shift(1, j)
-        rolled = tuple(jnp.roll(a, -s, axis=0) for a in p)
-        added = curve.add(p, rolled)
-        return curve.select(idx + s < p_len, added, p)
-
-    return jax.lax.fori_loop(0, log2p, body, pts)
-
-
 def window_sums(curve: CurveDev, c: int, lanes: int, pts, sc, nwin: int = 0):
     """Per-window weighted bucket sums; pure and traceable (jit or shard_map).
 
@@ -129,34 +115,46 @@ def window_sums(curve: CurveDev, c: int, lanes: int, pts, sc, nwin: int = 0):
         bz = jnp.zeros((nb * L, *fsh), jnp.uint32).at[lin].set(
             ez.reshape(-1, *fsh), mode="drop")
 
-        # tree-reduce lanes: (nb, L) -> (nb,). Fixed-shape masked halving via
-        # fori_loop so the complete-add formula is traced ONCE (an unrolled
-        # log2(L) reduce with shrinking shapes makes XLA:CPU compiles take
-        # minutes); lanes >= stride hold garbage but are masked off.
+        # One fused reduction loop — lane tree-reduce, bucket shift, and the
+        # two weighted-sum suffix scans — so the complete-add formula is
+        # traced exactly ONCE here (XLA:CPU compile time is ~linear in the
+        # number of field-op instances, so three separate reduction loops
+        # tripled compile time for zero runtime benefit). Phases:
+        #   j < logl:              lane halving on axis 1, masked
+        #   j == logl (pre-step):  arr[i] = B_{i+1}, arr[nb-1] = infinity
+        #   j in [logl, logl+2c):  two Hillis-Steele suffix scans on axis 0
+        # Result (the weighted bucket sum sum_k k*B_k) lands at [0, 0].
         bx = bx.reshape(nb, L, *fsh)
         by = by.reshape(nb, L, *fsh)
         bz = bz.reshape(nb, L, *fsh)
         lane_idx = jnp.arange(L)
-
-        def lane_reduce(j, b):
-            stride = jnp.int32(L) >> (j + 1)
-            rolled = tuple(jnp.roll(a, -stride, axis=1) for a in b)
-            added = curve.add(b, rolled)
-            return curve.select(lane_idx[None, :] < stride, added, b)
-
+        bucket_idx = jnp.arange(nb)
         logl = L.bit_length() - 1
-        bx, by, bz = jax.lax.fori_loop(0, logl, lane_reduce, (bx, by, bz))
-        buckets = (bx[:, 0], by[:, 0], bz[:, 0])                    # (nb, *fsh)
+        inf_full = curve.infinity((nb, L))
+        shift_mask = jnp.broadcast_to(bucket_idx[:, None] < nb - 1, (nb, L))
 
-        # weighted sum over k>=1: arr[i] = B_{i+1}, arr[nb-1] = infinity
-        inf1 = curve.infinity((1,))
-        arr = tuple(
-            jnp.concatenate([comp[1:], i1], axis=0)
-            for comp, i1 in zip(buckets, inf1)
-        )
-        suff = _suffix_scan(curve, arr, c)       # suff[i] = T_{i+1}
-        total = _suffix_scan(curve, suff, c)     # total[0] = sum_j T_j
-        return None, tuple(comp[0] for comp in total)
+        def red_body(j, b):
+            shifted = tuple(jnp.roll(comp, -1, axis=0) for comp in b)
+            pre = curve.select(shift_mask, shifted, inf_full)
+            b = tuple(jnp.where(j == logl, pc, bc) for pc, bc in zip(pre, b))
+
+            lane_phase = j < logl
+            lane_stride = jnp.int32(L) >> (jnp.minimum(j, logl - 1) + 1)
+            jsuf = jnp.maximum(j - logl, 0)
+            s = jnp.left_shift(1, jnp.where(jsuf < c, jsuf, jsuf - c))
+            s0 = jnp.where(lane_phase, 0, s)
+            s1 = jnp.where(lane_phase, lane_stride, 0)
+            partner = tuple(
+                jnp.roll(comp, (-s0, -s1), axis=(0, 1)) for comp in b)
+            added = curve.add(b, partner)
+            mask = jnp.where(lane_phase,
+                             lane_idx[None, :] < lane_stride,
+                             (bucket_idx[:, None] + s) < nb)
+            return curve.select(mask, added, b)
+
+        bx, by, bz = jax.lax.fori_loop(0, logl + 2 * c, red_body,
+                                       (bx, by, bz))
+        return None, (bx[0, 0], by[0, 0], bz[0, 0])
 
     _, wins = jax.lax.scan(window_body, None, jnp.arange(nwin, dtype=_I32))
     return wins

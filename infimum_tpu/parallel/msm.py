@@ -29,7 +29,11 @@ from ..msm.pippenger import (
 
 
 def _tree_reduce_axis0(curve: CurveDev, pts):
-    """Reduce (D, ...) projective points over axis 0 (D need not be pow2)."""
+    """Reduce (D, ...) projective points over axis 0 (D need not be pow2).
+
+    Fixed-shape masked halving in one fori_loop: the complete-add formula is
+    traced once (unrolled shrinking-shape halving costs one add *instance*
+    per level, and XLA:CPU compile time is ~linear in add instances)."""
     x, y, z = pts
     d = x.shape[0]
     nfdims = len(curve.fshape())
@@ -41,11 +45,19 @@ def _tree_reduce_axis0(curve: CurveDev, pts):
         y = jnp.concatenate([y, iy], axis=0)
         z = jnp.concatenate([z, iz], axis=0)
         d = target
-    while d > 1:
-        half = d // 2
-        x, y, z = curve.add((x[:half], y[:half], z[:half]),
-                            (x[half:d], y[half:d], z[half:d]))
-        d = half
+    if d == 1:
+        return (x[0], y[0], z[0])
+    idx = jnp.arange(d).reshape(d, *([1] * len(batch_rest)))
+
+    def body(j, b):
+        stride = jnp.int32(d) >> (j + 1)
+        rolled = tuple(jnp.roll(comp, -stride, axis=0) for comp in b)
+        added = curve.add(b, rolled)
+        return curve.select(jnp.broadcast_to(idx < stride, b[0].shape[: idx.ndim]),
+                            added, b)
+
+    logd = d.bit_length() - 1
+    x, y, z = jax.lax.fori_loop(0, logd, body, (x, y, z))
     return (x[0], y[0], z[0])
 
 
