@@ -39,6 +39,12 @@ def _force(x):
 
 
 def main():
+    # persistent compile cache: the axon-tunneled TPU backend compiles at
+    # ~minutes per graph; cached executables load in seconds on reruns
+    from infimum_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     import jax
     import jax.numpy as jnp
 

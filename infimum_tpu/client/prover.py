@@ -156,11 +156,16 @@ class PollProver:
         """The reference's provePollResults (utils.ts:47-55): returns
         (proof_batches, outcome) ready for commit_outcome.
 
-        Batches are proved as a two-stage pipeline (SURVEY.md §2.5 "witness
-        generator: embarrassingly parallel across batches"): a prefetch
-        thread computes the host witness assignment of batch k+1 while the
-        device runs batch k's NTT/MSMs — the reference proves batches in a
-        strictly sequential for loop (cli/src/utils.ts:67-94)."""
+        Witness generation is parallel across batches (SURVEY.md §2.5
+        "witness generator: embarrassingly parallel across batches"):
+        forked worker processes compute all batch assignments concurrently
+        (witness/parallel.py) and proving streams over them on the device —
+        the reference instead proves batches in a strictly sequential for
+        loop with an in-process WASM witness calculator
+        (cli/src/utils.ts:67-94). Set INFIMUM_PARALLEL_WITNESS=0 to force
+        the sequential thread-prefetch pipeline (one witness computed ahead
+        of the in-flight proof)."""
+        import os
         from concurrent.futures import ThreadPoolExecutor
 
         process_batches, tally_batches, tb = self.get_poll_results()
@@ -168,17 +173,36 @@ class PollProver:
                 for v, m in process_batches]
         jobs += [(self.keys.tally_circuit, self.keys.tally_pk, v, m)
                  for v, m in tally_batches]
-        batches = []
-        with ThreadPoolExecutor(max_workers=1) as ex:
-            futs = [ex.submit(c.assignment, v) for c, _, v, _ in jobs]
-            for (circuit, pk, values, meta), fut in zip(jobs, futs):
-                witness = fut.result()
-                proof = prove(pk, circuit.cs, witness, rng=self.rng)
-                publics = circuit.public_inputs(values)
-                assert verify(pk.vk, proof, publics), "self-verification failed"
-                batches.append((serialize_proof(proof),
-                                fr_to_hash_bytes(meta["new_commitment"])))
+
+        use_mp = (os.environ.get("INFIMUM_PARALLEL_WITNESS", "1") != "0"
+                  and (os.cpu_count() or 1) > 1 and len(jobs) > 1)
+        if use_mp:
+            from ..witness.parallel import parallel_assignments
+
+            pw = parallel_assignments(
+                self.keys.process_circuit, [v for v, _ in process_batches])
+            tw = parallel_assignments(
+                self.keys.tally_circuit, [v for v, _ in tally_batches])
+            witnesses = iter(pw + tw)
+            get = lambda: next(witnesses)
+            batches = self._prove_stream(jobs, get)
+        else:
+            with ThreadPoolExecutor(max_workers=1) as ex:
+                futs = iter([ex.submit(c.assignment, v)
+                             for c, _, v, _ in jobs])
+                batches = self._prove_stream(jobs, lambda: next(futs).result())
         return batches, self._outcome(tb)
+
+    def _prove_stream(self, jobs, next_witness):
+        batches = []
+        for circuit, pk, values, meta in jobs:
+            witness = next_witness()
+            proof = prove(pk, circuit.cs, witness, rng=self.rng)
+            publics = circuit.public_inputs(values)
+            assert verify(pk.vk, proof, publics), "self-verification failed"
+            batches.append((serialize_proof(proof),
+                            fr_to_hash_bytes(meta["new_commitment"])))
+        return batches
 
     def _outcome(self, tb: TallyWitnessBuilder) -> PollOutcome:
         """PollOutcome construction (utils.ts:128-163): final results, one

@@ -26,6 +26,31 @@ def _machine_key() -> str:
     return hashlib.md5(platform.processor().encode()).hexdigest()[:16]
 
 
+def _pin_cache_key_determinism():
+    """Make the persistent-cache key stable across processes.
+
+    jax's cache key hashes the canonicalized module IR through a zero-copy
+    buffer; with the Mosaic (pallas) custom calls in the module, the hashed
+    bytes were observed to differ on EVERY process launch (same program,
+    identical `_canonicalize_ir` output when copied, different hash when the
+    buffer was handed straight to `hash_obj.update`) — i.e. the hash reads
+    memory the module no longer owns. Forcing a materialized `bytes` copy
+    (which also keeps the buffer alive across the update call) makes the key
+    deterministic, turning every warm-cache run from a full recompile
+    (~minutes per graph through the tunneled TPU backend) into a load."""
+    from jax._src import cache_key as ck
+
+    orig = ck._canonicalize_ir
+    if getattr(orig, "_infimum_pinned", False):
+        return
+
+    def canonicalize_copy(module, ignore_callbacks):
+        return bytes(orig(module, ignore_callbacks))
+
+    canonicalize_copy._infimum_pinned = True
+    ck._canonicalize_ir = canonicalize_copy
+
+
 def enable_persistent_cache(root: str = "/root/repo/.jax_cache") -> str:
     import jax
 
@@ -33,4 +58,5 @@ def enable_persistent_cache(root: str = "/root/repo/.jax_cache") -> str:
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    _pin_cache_key_determinism()
     return path

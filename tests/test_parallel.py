@@ -98,3 +98,27 @@ def test_msm_sharded_matches_host(mesh):
     scalars = [rng.randrange(FR_MOD) for _ in range(n)]
     got = msm_sharded(points, scalars, mesh, c=4, lanes=2)
     assert got == msm_host(points, scalars)
+
+
+def test_parallel_witness_matches_sequential():
+    """witness/parallel.py: forked per-batch assignments == sequential ones
+    (SURVEY.md §2.5 parallel witness generator; the hint closures cross the
+    fork boundary via copy-on-write, never pickle)."""
+    import random
+
+    from infimum_tpu.circuits.tally import TallyCircuit
+    from infimum_tpu.witness.parallel import parallel_assignments
+
+    tc = TallyCircuit(state_tree_depth=2, int_state_tree_depth=1,
+                      vote_option_tree_depth=1)
+    from infimum_tpu.witness.tally import TallyWitnessBuilder, Ballot
+
+    ballots = [Ballot(nonce=1, votes=[1, 0, 2, 0, 0]) for _ in range(4)]
+    tb = TallyWitnessBuilder(tc, state_root=123, sb_salt=7,
+                             ballots=ballots, num_signups=4)
+    rng = random.Random(3)
+    batch_values = [tb.batch_inputs(rng)[0] for _ in range(tb.num_batches)]
+    assert len(batch_values) >= 2
+    seq = [tc.assignment(v) for v in batch_values]
+    par = parallel_assignments(tc, batch_values, processes=2)
+    assert par == seq
