@@ -156,8 +156,14 @@ class FpCtxT:
         n_added, _ = _carry_T(d + jnp.asarray(self.n), NLIMBS)
         return jnp.where(borrow.astype(bool)[None, :], n_added, d)
 
-    def mont_mul(self, a, b):
-        t_cols = self._mul_columns(a, b, 2 * NLIMBS)
+    def redc_cols(self, t_cols, extra_subs: int = 0):
+        """Montgomery REDC of (2*NLIMBS, B) product columns.
+
+        Standard REDC assumes T < R*N (one conditional subtract); lazily
+        accumulated column sums (e.g. a whole Poseidon MDS row before one
+        reduction) can reach T < (1+x)*R*N, which leaves the result below
+        (2+x)*N — pass `extra_subs` = ceil(x) additional conditional
+        subtracts to restore the < N contract."""
         t_low, _ = _carry_T(t_cols[:NLIMBS], NLIMBS)
         m_cols = self._mul_columns(
             t_low, jnp.broadcast_to(jnp.asarray(self.nprime), t_low.shape),
@@ -166,7 +172,14 @@ class FpCtxT:
         mn_cols = self._mul_columns(
             m, jnp.broadcast_to(jnp.asarray(self.n), m.shape), 2 * NLIMBS)
         total, carry = _carry_T(t_cols + mn_cols, 2 * NLIMBS)
-        return self._cond_sub_n(total[NLIMBS:], carry)
+        out = self._cond_sub_n(total[NLIMBS:], carry)
+        zero_carry = jnp.zeros_like(carry)
+        for _ in range(extra_subs):
+            out = self._cond_sub_n(out, zero_carry)
+        return out
+
+    def mont_mul(self, a, b):
+        return self.redc_cols(self._mul_columns(a, b, 2 * NLIMBS))
 
     def mont_sqr(self, a):
         return self.mont_mul(a, a)

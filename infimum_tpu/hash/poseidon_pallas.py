@@ -39,6 +39,48 @@ def _lane_block() -> int:
     return 512 if platform() == "tpu" else 8
 
 
+_FUSED_MAX_T = 8  # 8-bit-split dot stays f32-exact while t*32*255^2 < 2^24
+
+
+@functools.lru_cache(maxsize=None)
+def _mds8_matrix(t: int) -> np.ndarray:
+    """Fused MDS-times-column-scatter constant: (t*64, t*32) f32 0..255.
+
+    Row i*64+k, column j*32+b holds byte k-b of the Montgomery form of
+    M[i][j], so one matmul against the 8-bit-split state computes the raw
+    product columns of every MDS row sum: since multiplication by a
+    constant is linear over the state's limbs, the t x t field multiplies
+    AND the cross-element accumulation collapse into a single MXU op per
+    round, with ONE Montgomery reduction per output element instead of one
+    per (i, j) product (t^2 -> t reductions; ~4x fewer matmul FLOPs per
+    permutation at t=6). Exactness: every entry < 2^8 and every 8-bit state
+    limb < 2^8, so products < 2^16 and each column accumulates at most
+    t*32 <= 256 of them < 2^24 — exact in f32 (guarded by _FUSED_MAX_T)."""
+    _, mds = poseidon_params(t)
+    m = np.zeros((t * 64, t * 32), dtype=np.float32)
+    for i in range(t):
+        for j in range(t):
+            mont = FR_CTX.to_mont_int(mds[i][j])
+            for a in range(32):
+                byte = (mont >> (8 * a)) & 0xFF
+                if byte == 0:
+                    continue
+                for b in range(32):
+                    k = a + b
+                    m[i * 64 + k, j * 32 + b] = byte
+    return m
+
+
+@functools.lru_cache(maxsize=None)
+def _extra_subs(t: int) -> int:
+    """REDC of a lazily-accumulated t-term sum leaves the result below
+    (1 + t*N/R)*N; ceil(t*N/R) conditional subtracts are needed in total,
+    the first of which redc_cols always performs."""
+    n = FR_CTX.modulus
+    r = FR_CTX.R
+    return max(0, -(-(t * n) // r) - 1)
+
+
 @functools.lru_cache(maxsize=None)
 def _params_limb_major(t: int):
     """ark (rounds, t, NLIMBS, 1), mds (t, t, NLIMBS, 1) Montgomery-form,
@@ -61,10 +103,10 @@ def _params_limb_major(t: int):
     return ark_arr, mds_arr, is_full
 
 
-def _perm_body(state, t, F, load_ark, load_mds, r_p):
+def _perm_body(state, t, F, load_ark, mds_apply, r_p):
     """The permutation on a t-tuple of (NLIMBS, B) blocks, traced inside the
     kernel. F is a bound FpCtxT; load_ark(r, i) -> (NLIMBS, 1) round constant
-    (r may be a traced index), load_mds(i, j) -> (NLIMBS, 1).
+    (r may be a traced index); mds_apply(parts) -> t-tuple of mixed outputs.
 
     Three fori_loop phases (full/partial/full) instead of one lax.scan over
     per-round constants: Mosaic cannot lower scans with extensive inputs
@@ -86,14 +128,7 @@ def _perm_body(state, t, F, load_ark, load_mds, r_p):
                 x = F.add(s[i], jnp.broadcast_to(load_ark(r, i), s[i].shape))
                 # partial rounds S-box only element 0 (static per phase)
                 parts.append(sbox(x) if (full or i == 0) else x)
-            acc = [None] * t
-            for i in range(t):
-                for j in range(t):
-                    p = F.mont_mul(
-                        jnp.broadcast_to(load_mds(i, j), parts[j].shape),
-                        parts[j])
-                    acc[i] = p if acc[i] is None else F.add(acc[i], p)
-            return tuple(acc)
+            return mds_apply(parts)
 
         return round_fn
 
@@ -103,14 +138,71 @@ def _perm_body(state, t, F, load_ark, load_mds, r_p):
     return jax.lax.fori_loop(half + r_p, half + r_p + half, phase(True), s)
 
 
+def _mds_apply_fused(F, t, mds8):
+    """One-matmul MDS (see _mds8_matrix): split state to 8-bit limbs, one
+    exact-f32 dot for all t outputs' raw product columns, t lazy REDCs."""
+    extra = _extra_subs(t)
+
+    def apply(parts):
+        b = parts[0].shape[-1]
+        sp = []
+        for p in parts:
+            lo = p & jnp.uint32(0xFF)
+            hi = p >> 8
+            sp.append(jnp.stack([lo, hi], axis=1).reshape(2 * NLIMBS, b))
+        sp8 = jnp.concatenate(sp, axis=0).astype(jnp.int32) \
+                 .astype(jnp.float32)                       # (t*32, B)
+        c8 = jax.lax.dot_general(
+            mds8, sp8, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(jnp.int32).astype(jnp.uint32)              # (t*64, B)
+        c8r = c8.reshape(t * 2 * NLIMBS, 2, b)
+        even = jax.lax.squeeze(
+            jax.lax.slice_in_dim(c8r, 0, 1, axis=1), (1,))
+        odd = jax.lax.squeeze(
+            jax.lax.slice_in_dim(c8r, 1, 2, axis=1), (1,))
+        c16 = even + (odd << 8)                             # (t*32, B)
+        out = []
+        for i in range(t):
+            cols = jax.lax.slice_in_dim(
+                c16, i * 2 * NLIMBS, (i + 1) * 2 * NLIMBS, axis=0)
+            out.append(F.redc_cols(cols, extra_subs=extra))
+        return tuple(out)
+
+    return apply
+
+
+def _mds_apply_looped(F, t, load_mds):
+    """t^2 constant mont_muls + adds (widths above _FUSED_MAX_T, where the
+    fused dot's f32 accumulation would no longer be exact)."""
+
+    def apply(parts):
+        acc = [None] * t
+        for i in range(t):
+            for j in range(t):
+                p = F.mont_mul(
+                    jnp.broadcast_to(load_mds(i, j), parts[j].shape),
+                    parts[j])
+                acc[i] = p if acc[i] is None else F.add(acc[i], p)
+        return tuple(acc)
+
+    return apply
+
+
 def _perm_kernel(t: int, r_p: int):
+    fused = t <= _FUSED_MAX_T
+
     def kernel(state_ref, ark_ref, mds_ref,
                n_ref, nprime_ref, m16_ref, m32_ref, out_ref):
         F = FR_CTX_T.bind(n_ref[:], nprime_ref[:], m16_ref[:], m32_ref[:])
         state = tuple(state_ref[i] for i in range(t))
+        if fused:
+            mds_apply = _mds_apply_fused(F, t, mds_ref[:])
+        else:
+            mds_apply = _mds_apply_looped(F, t, lambda i, j: mds_ref[i, j])
         out = _perm_body(state, t, F,
-                         lambda r, i: ark_ref[r, i],
-                         lambda i, j: mds_ref[i, j], r_p)
+                         lambda r, i: ark_ref[r, i], mds_apply, r_p)
         for i in range(t):
             out_ref[i] = out[i]
 
@@ -124,6 +216,8 @@ def _perm_call(state, t: int, interpret: bool):
     blk = _lane_block()
     grid = b // blk
     ark, mds, _ = _params_limb_major(t)
+    if t <= _FUSED_MAX_T:
+        mds = _mds8_matrix(t)
     consts = FR_CTX_T.consts()
     operands = (state, ark, mds, *consts)
     in_specs = [pl.BlockSpec((t, NLIMBS, blk), lambda i: (0, 0, i))]
