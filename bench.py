@@ -138,9 +138,71 @@ def main():
         "correct": True,
         "baseline_note": "reference publishes no numbers; proxy = 5e4 pts/s snarkjs-WASM",
     }
+    record.update(bench_g2(on_tpu, reps))
     record.update(bench_poseidon(on_tpu, reps))
     record.update(bench_proof(on_tpu))
     print(json.dumps(record))
+
+
+def bench_g2(on_tpu: bool, reps: int) -> dict:
+    """G2 MSM throughput (the [B]_2 proof element, reference
+    pallet/src/lib.rs:804-813; Fq2 doubles the limb cost). Correctness-gated
+    like the G1 metric. TPU-only by default (BENCH_G2 overrides)."""
+    flag = os.environ.get("BENCH_G2")
+    if (flag or ("1" if on_tpu else "0")) != "1":
+        return {}
+    import jax.numpy as jnp
+
+    from infimum_tpu.curve.bn254_host import G2_GEN, g2_mul, g2_add
+    from infimum_tpu.ff.bn254 import FR_MOD
+    from infimum_tpu.ff.limbs import NLIMBS, batch_to_limbs
+    from infimum_tpu.msm.pallas_msm import (
+        _msm_fn, combine_window_points, N_WINDOWS, G2_SPEC,
+    )
+
+    n = int(os.environ.get("BENCH_G2_N", str(1 << 17)))
+    lanes = min(1024, n)
+    rng = random.Random(20260820)
+    nbase = min(128, n)
+    base = [g2_mul(G2_GEN, rng.randrange(1, FR_MOD)) for _ in range(nbase)]
+    base_rows = G2_SPEC.encode_affine_rows(base)
+    scalars = [rng.randrange(0, FR_MOD) for _ in range(n)]
+
+    t = -(-n // lanes)
+    npad = t * lanes
+    rows = np.zeros((npad, base_rows.shape[1]), dtype=np.uint32)
+    rows[:n] = np.tile(base_rows, (-(-n // nbase), 1))[:n]
+    sc = np.zeros((npad, NLIMBS), dtype=np.uint32)
+    sc[:n] = batch_to_limbs(scalars)
+    fn = _msm_fn(t, lanes // 8, N_WINDOWS, False, "g2")
+    dr, ds = jnp.asarray(rows), jnp.asarray(sc)
+    wins = _force(fn(dr, ds))
+
+    agg = [0] * nbase
+    for i, s in enumerate(scalars):
+        agg[i % nbase] = (agg[i % nbase] + s) % FR_MOD
+    want = None
+    for p, s in zip(base, agg):
+        if s:
+            want = g2_add(want, g2_mul(p, s))
+    got = combine_window_points(wins, "g2")
+    if got != want:
+        raise SystemExit(
+            "G2 MSM mismatch vs host reference - refusing to report a "
+            "throughput number for an incorrect kernel")
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _force(fn(dr, ds))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    return {
+        "msm_g2_points_per_sec": round(n / best, 1),
+        "msm_g2_n": n,
+        "msm_g2_best_ms": round(best * 1e3, 3),
+        "msm_g2_correct": True,
+    }
 
 
 def bench_poseidon(on_tpu: bool, reps: int) -> dict:
@@ -209,8 +271,24 @@ def bench_proof(on_tpu: bool) -> dict:
     from infimum_tpu.client.e2e import run_reference_e2e
 
     t = run_reference_e2e(verbose=True)
+
+    # steady-state latency: batch 0 of each circuit additionally pays the
+    # one-time executable load of the cached MSM/NTT graphs through the
+    # tunneled backend; production proving is a long stream of batches, so
+    # report (min per-batch time) x (batch count) alongside the raw total.
+    def _steady(prefix):
+        per_batch = [
+            t[f"prove_{prefix}_{i}"] + t[f"witness_{prefix}_{i}"]
+            for i in range(t["num_proofs"])
+            if f"prove_{prefix}_{i}" in t
+        ]
+        return min(per_batch) * len(per_batch) if per_batch else 0.0
+
+    steady = round(_steady("process") + _steady("tally")
+                   + t["witness_inputs"], 3)
     return {
         "proof_latency_s": t["proof_latency_s"],
+        "proof_latency_steady_s": steady,
         "proof_setup_s": round(t["setup_process"] + t["setup_tally"], 3),
         "proof_batches": t["num_proofs"],
         "proof_outcome_ok": True,
