@@ -60,7 +60,8 @@ def run_reference_e2e(config: dict | None = None, verbose: bool = False,
     from ..pallet import InfimumPallet
     from ..circuits.process import ProcessCircuit
     from ..circuits.tally import TallyCircuit
-    from ..groth16.groth16 import setup, prove, verify
+    from ..groth16.groth16 import prove, verify
+    from ..groth16.pkcache import setup_cached
     from ..io.arkworks import serialize_proof, fr_to_hash_bytes
 
     with clock("build_circuits"):
@@ -76,11 +77,15 @@ def run_reference_e2e(config: dict | None = None, verbose: bool = False,
     timings["process_constraints"] = len(pc.cs.constraints)
     timings["tally_constraints"] = len(tc.cs.constraints)
 
+    # persisted trusted setup: the reference loads a ceremony-produced .zkey
+    # per circuit instead of regenerating keys per run (circuits/README.md:
+    # 10-33); setup_cached mirrors that with an on-disk key keyed by circuit
+    # fingerprint + trapdoor seed (~10 min at these dims, seconds on reruns)
     rng = random.Random(seed)
     with clock("setup_process"):
-        process_pk = setup(pc.cs, rng)
+        process_pk = setup_cached(pc.cs, rng, label="process")
     with clock("setup_tally"):
-        tally_pk = setup(tc.cs, rng)
+        tally_pk = setup_cached(tc.cs, rng, label="tally")
     keys = ProverKeys(pc, tc, process_pk, tally_pk)
 
     with clock("lifecycle"):

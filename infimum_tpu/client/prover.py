@@ -15,7 +15,7 @@ from dataclasses import dataclass
 
 from ..circuits.process import ProcessCircuit
 from ..circuits.tally import TallyCircuit
-from ..groth16.groth16 import setup, prove, verify, ProvingKey, VerifyingKey
+from ..groth16.groth16 import prove, verify, ProvingKey, VerifyingKey
 from ..io.arkworks import serialize_vkey, serialize_proof, fr_to_hash_bytes
 from ..maci.keys import Keypair
 from ..maci.replay import MaciReplay
@@ -56,7 +56,10 @@ class ProverKeys:
             int_state_tree_depth=tally_subtree_depth,
             vote_option_tree_depth=vote_option_tree_depth,
         )
-        return cls(pc, tc, setup(pc.cs, rng), setup(tc.cs, rng))
+        from ..groth16.pkcache import setup_cached
+
+        return cls(pc, tc, setup_cached(pc.cs, rng, label="process"),
+                   setup_cached(tc.cs, rng, label="tally"))
 
     @classmethod
     def dims_only(cls, registration_depth: int, interaction_depth: int,
@@ -158,13 +161,16 @@ class PollProver:
 
         Witness generation is parallel across batches (SURVEY.md §2.5
         "witness generator: embarrassingly parallel across batches"):
-        forked worker processes compute all batch assignments concurrently
-        (witness/parallel.py) and proving streams over them on the device —
-        the reference instead proves batches in a strictly sequential for
-        loop with an in-process WASM witness calculator
+        forked worker processes compute batch assignments concurrently and
+        stream them in order (witness/parallel.py iter_assignments) while
+        proving runs on the device, so the first proof starts as soon as
+        batch 0's witness lands and finished witnesses are dropped after
+        use — the reference instead proves batches in a strictly sequential
+        for loop with an in-process WASM witness calculator
         (cli/src/utils.ts:67-94). Set INFIMUM_PARALLEL_WITNESS=0 to force
         the sequential thread-prefetch pipeline (one witness computed ahead
         of the in-flight proof)."""
+        import itertools
         import os
         from concurrent.futures import ThreadPoolExecutor
 
@@ -177,15 +183,14 @@ class PollProver:
         use_mp = (os.environ.get("INFIMUM_PARALLEL_WITNESS", "1") != "0"
                   and (os.cpu_count() or 1) > 1 and len(jobs) > 1)
         if use_mp:
-            from ..witness.parallel import parallel_assignments
+            from ..witness.parallel import iter_assignments
 
-            pw = parallel_assignments(
-                self.keys.process_circuit, [v for v, _ in process_batches])
-            tw = parallel_assignments(
-                self.keys.tally_circuit, [v for v, _ in tally_batches])
-            witnesses = iter(pw + tw)
-            get = lambda: next(witnesses)
-            batches = self._prove_stream(jobs, get)
+            witnesses = itertools.chain(
+                iter_assignments(self.keys.process_circuit,
+                                 [v for v, _ in process_batches]),
+                iter_assignments(self.keys.tally_circuit,
+                                 [v for v, _ in tally_batches]))
+            batches = self._prove_stream(jobs, lambda: next(witnesses))
         else:
             with ThreadPoolExecutor(max_workers=1) as ex:
                 futs = iter([ex.submit(c.assignment, v)

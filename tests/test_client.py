@@ -98,6 +98,7 @@ def test_client_signal_parity():
     assert outcome.tally_results[5] == 1 and outcome.total_spent == 1
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(os.environ.get("INFIMUM_E2E") != "1",
                     reason="full Groth16 e2e at reference circuit sizes is "
                            "TPU-scale; set INFIMUM_E2E=1 to run")
