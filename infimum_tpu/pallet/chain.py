@@ -149,8 +149,15 @@ class InfimumPallet:
             raise PalletError(Error.CoordinatorPollLimitReached)
         if self._active_poll(origin) is not None:
             raise PalletError(Error.PollCurrentlyActive)
+        # per-poll capacity is set by the tree depths (lib.rs:390-398:
+        # max_registrations = 2^registration_depth, max_interactions =
+        # 5^interaction_depth) and must fit the runtime bounds
+        max_registrations = 2 ** registration_depth
+        max_interactions = 5 ** interaction_depth
         if (len(vote_options) > self.config.max_vote_options
                 or len(vote_options) != 5 ** vote_option_tree_depth
+                or max_registrations > self.config.max_poll_registrations
+                or max_interactions > self.config.max_poll_interactions
                 or not (0 < registration_depth <= 32)
                 or not (0 < interaction_depth <= 32)
                 or not (0 < process_subtree_depth <= interaction_depth)
@@ -166,8 +173,8 @@ class InfimumPallet:
             tally_subtree_depth=tally_subtree_depth,
             vote_option_tree_depth=vote_option_tree_depth,
             vote_options=list(vote_options),
-            max_registrations=self.config.max_poll_registrations,
-            max_interactions=self.config.max_poll_interactions,
+            max_registrations=max_registrations,
+            max_interactions=max_interactions,
         ))
         self.polls[poll_id] = poll
         coord.poll_ids.append(poll_id)
@@ -245,6 +252,9 @@ class InfimumPallet:
             raise PalletError(Error.PollOutcomeAlreadyDetermined)
         if not poll.is_merged():
             raise PalletError(Error.PollStateNotMerged)
+        # lib.rs:588: at least one of the inputs must be provided
+        if not proof_batches and outcome is None:
+            raise PalletError(Error.MalformedInput)
         for proof_data, commitment_bytes in proof_batches:
             try:
                 proof = deserialize_proof(proof_data)
@@ -261,13 +271,17 @@ class InfimumPallet:
             poll.commit(new_c)
             self._emit("PollCommitmentUpdated", poll=poll.index, kind=kind,
                        commitment=new_commitment)
+        # lib.rs:620-628: an outcome that fails verification (or a poll not
+        # yet fully proven) does NOT error — the extrinsic succeeds with the
+        # outcome left unset, so a coordinator can chain partial proof
+        # batches carrying the outcome along (extrinsics.rs:907-958
+        # commit_outcome_partial_success)
         if outcome is not None:
             index = poll.verify_outcome(outcome)
-            if index is None:
-                raise PalletError(Error.MalformedInput)
-            poll.outcome = index
-            self._emit("PollOutcome", poll=poll.index, outcome_index=index)
-            return index
+            if index is not None:
+                poll.outcome = index
+                self._emit("PollOutcome", poll=poll.index, outcome_index=index)
+                return index
 
     def nullify_poll(self, origin):
         """lib.rs:643-676: tombstone a dead poll (proving window missed)."""
