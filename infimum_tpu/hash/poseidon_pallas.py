@@ -56,6 +56,16 @@ def _mds8_matrix(t: int) -> np.ndarray:
     permutation at t=6). Exactness: every entry < 2^8 and every 8-bit state
     limb < 2^8, so products < 2^16 and each column accumulates at most
     t*32 <= 256 of them < 2^24 — exact in f32 (guarded by _FUSED_MAX_T)."""
+    # exactness guards (comment-only bounds would silently corrupt hashes
+    # if _FUSED_MAX_T or the limb split ever widened):
+    #  - each f32 matmul column accumulates <= t*32 byte-products < 2^24,
+    #    so the fused dot is integer-exact in f32
+    #  - redc_cols then adds these columns to mn product columns
+    #    (<= 32 halves * (2^16-1) each) in uint32; the sum must stay < 2^32
+    max_t_col = t * 32 * 255 * 255
+    max_mn_col = 32 * ((1 << 16) - 1)
+    assert max_t_col < 1 << 24, (t, max_t_col)
+    assert max_t_col + max_mn_col < 1 << 32, (t, max_t_col + max_mn_col)
     _, mds = poseidon_params(t)
     m = np.zeros((t * 64, t * 32), dtype=np.float32)
     for i in range(t):

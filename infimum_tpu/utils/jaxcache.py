@@ -58,5 +58,15 @@ def enable_persistent_cache(root: str = "/root/repo/.jax_cache") -> str:
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    _pin_cache_key_determinism()
+    try:
+        # private-API patch (correct for jax 0.9.0); a future jax may move
+        # or change _canonicalize_ir — losing key determinism is acceptable,
+        # failing to start the prover is not
+        _pin_cache_key_determinism()
+    except Exception as e:
+        import sys
+
+        print(f"[jaxcache] cache-key determinism pin unavailable on this "
+              f"jax version ({type(e).__name__}: {e}); persistent cache "
+              f"stays enabled without it", file=sys.stderr, flush=True)
     return path
