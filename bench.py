@@ -1,6 +1,12 @@
-"""Headline benchmark: Pippenger MSM throughput (BN254 G1) on one chip.
+"""Headline benchmark: Pippenger MSM throughput (BN254 G1) on one chip,
+plus G2 MSM, Poseidon batch hashing, and the reference-dims end-to-end
+proof latency.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints the cumulative metrics record as ONE JSON line after EVERY phase
+(same record, re-printed with more fields), so the final stdout line always
+carries every metric measured so far and a late failure or timeout cannot
+erase earlier results. Phase order puts the headline G1 number on stdout
+first.
 
 The reference publishes no performance numbers (BASELINE.md: snarkjs proving
 in a single Node.js process, no benchmarks directory, pallet benchmarking
@@ -9,15 +15,15 @@ WASM Pippenger sustains on the order of 5e4 points/sec/core on commodity
 CPUs for BN254 G1 at these sizes. That proxy is recorded here explicitly so
 the comparison is reproducible, not implied.
 
-Correctness gates the metric: the kernel result is checked against the host
-bignum Pippenger BEFORE timing is reported; on mismatch the process exits
-nonzero without printing a throughput line.
+Correctness gates every metric: each kernel result is checked against the
+host bignum reference BEFORE its timing is reported; on mismatch the phase
+reports an error field instead of a number and the process exits nonzero.
 
 On TPU the Pallas pipeline (msm/pallas_msm.py) runs; elsewhere the XLA
 kernel (msm/pippenger.py) at a reduced size.
 
 Env overrides: BENCH_N (default 2^20 on TPU, 2^12 elsewhere), BENCH_LANES,
-BENCH_REPS.
+BENCH_REPS, BENCH_G2[_N], BENCH_POSEIDON_B, BENCH_PROOF.
 """
 
 from __future__ import annotations
@@ -26,10 +32,17 @@ import json
 import os
 import random
 import time
+import traceback
 
 import numpy as np
 
 SNARKJS_PROXY_POINTS_PER_SEC = 5e4
+
+RECORD: dict = {}
+
+
+def emit():
+    print(json.dumps(RECORD), flush=True)
 
 
 def _force(x):
@@ -38,14 +51,7 @@ def _force(x):
     return np.asarray(x)
 
 
-def main():
-    # persistent compile cache: the axon-tunneled TPU backend compiles at
-    # ~minutes per graph; cached executables load in seconds on reruns
-    from infimum_tpu.utils.jaxcache import enable_persistent_cache
-
-    enable_persistent_cache()
-
-    import jax
+def bench_msm_g1(on_tpu: bool, platform: str) -> None:
     import jax.numpy as jnp
 
     from infimum_tpu.curve.bn254_host import G1_GEN, g1_mul
@@ -54,8 +60,6 @@ def main():
     from infimum_tpu.ff.limbs import NLIMBS, batch_to_limbs
     from infimum_tpu.msm.pippenger import msm_host
 
-    platform = jax.devices()[0].platform
-    on_tpu = platform == "tpu"
     n = int(os.environ.get("BENCH_N", str(1 << 20 if on_tpu else 1 << 12)))
     lanes = int(os.environ.get("BENCH_LANES", str(1024 if on_tpu else 8)))
     lanes = min(lanes, n)
@@ -113,7 +117,7 @@ def main():
     want = msm_host(base, agg)
     got = decode(run())
     if got != want:
-        raise SystemExit(
+        raise RuntimeError(
             "MSM result mismatch vs host reference - refusing to report "
             "a throughput number for an incorrect kernel")
 
@@ -127,7 +131,7 @@ def main():
     best = min(times)
 
     value = n / best
-    record = {
+    RECORD.update({
         "metric": f"msm_g1_2^{n.bit_length() - 1}_points_per_sec",
         "value": round(value, 1),
         "unit": "points/sec/chip",
@@ -136,21 +140,18 @@ def main():
         "best_ms": round(best * 1e3, 3),
         "platform": platform, "kernel": kernel_name,
         "correct": True,
-        "baseline_note": "reference publishes no numbers; proxy = 5e4 pts/s snarkjs-WASM",
-    }
-    record.update(bench_g2(on_tpu, reps))
-    record.update(bench_poseidon(on_tpu, reps))
-    record.update(bench_proof(on_tpu))
-    print(json.dumps(record))
+        "baseline_note": ("reference publishes no numbers; "
+                          "proxy = 5e4 pts/s snarkjs-WASM"),
+    })
 
 
-def bench_g2(on_tpu: bool, reps: int) -> dict:
+def bench_g2(on_tpu: bool) -> None:
     """G2 MSM throughput (the [B]_2 proof element, reference
     pallet/src/lib.rs:804-813; Fq2 doubles the limb cost). Correctness-gated
     like the G1 metric. TPU-only by default (BENCH_G2 overrides)."""
     flag = os.environ.get("BENCH_G2")
     if (flag or ("1" if on_tpu else "0")) != "1":
-        return {}
+        return
     import jax.numpy as jnp
 
     from infimum_tpu.curve.bn254_host import G2_GEN, g2_mul, g2_add
@@ -160,6 +161,7 @@ def bench_g2(on_tpu: bool, reps: int) -> dict:
         _msm_fn, combine_window_points, N_WINDOWS, G2_SPEC,
     )
 
+    reps = int(os.environ.get("BENCH_REPS", "3"))
     n = int(os.environ.get("BENCH_G2_N", str(1 << 17)))
     lanes = min(1024, n)
     rng = random.Random(20260820)
@@ -187,7 +189,7 @@ def bench_g2(on_tpu: bool, reps: int) -> dict:
             want = g2_add(want, g2_mul(p, s))
     got = combine_window_points(wins, "g2")
     if got != want:
-        raise SystemExit(
+        raise RuntimeError(
             "G2 MSM mismatch vs host reference - refusing to report a "
             "throughput number for an incorrect kernel")
 
@@ -197,24 +199,26 @@ def bench_g2(on_tpu: bool, reps: int) -> dict:
         _force(fn(dr, ds))
         times.append(time.perf_counter() - t0)
     best = min(times)
-    return {
+    RECORD.update({
         "msm_g2_points_per_sec": round(n / best, 1),
         "msm_g2_n": n,
         "msm_g2_best_ms": round(best * 1e3, 3),
         "msm_g2_correct": True,
-    }
+    })
 
 
-def bench_poseidon(on_tpu: bool, reps: int) -> dict:
+def bench_poseidon(on_tpu: bool) -> None:
     """Poseidon width-5 batch hashing (the tree-build hot loop, reference
     pallet/src/hash/poseidon.rs:162-208): Pallas kernel on TPU, XLA kernel
     elsewhere. Host-KAT-gated: no number is reported on mismatch."""
+    import jax
     import jax.numpy as jnp
 
     from infimum_tpu.ff.fp import FR_CTX
     from infimum_tpu.ff.bn254 import FR_MOD
     from infimum_tpu.hash.poseidon_host import poseidon as poseidon_ref
 
+    reps = int(os.environ.get("BENCH_REPS", "3"))
     b = int(os.environ.get("BENCH_POSEIDON_B", str(1 << 16 if on_tpu else 64)))
     width = 5
     rng = random.Random(20260819)
@@ -230,14 +234,12 @@ def bench_poseidon(on_tpu: bool, reps: int) -> dict:
         from infimum_tpu.hash.poseidon import poseidon_hash_device as fn
         kernel = "xla"
 
-    import jax
-
     jfn = jax.jit(fn)
     out = _force(jfn(enc))                        # compile + warm
     got = FR_CTX.decode(out[:64])
     want = [poseidon_ref([c[i] for c in cols_host]) for i in range(64)]
     if got != want:
-        raise SystemExit(
+        raise RuntimeError(
             "Poseidon kernel mismatch vs host reference - refusing to "
             "report a throughput number for an incorrect kernel")
 
@@ -247,27 +249,31 @@ def bench_poseidon(on_tpu: bool, reps: int) -> dict:
         _force(jfn(enc))
         times.append(time.perf_counter() - t0)
     best = min(times)
-    return {
+    RECORD.update({
         "poseidon_w5_hashes_per_sec": round(b / best, 1),
         "poseidon_batch": b,
         "poseidon_kernel": kernel,
         "poseidon_correct": True,
-    }
+    })
 
 
-def bench_proof(on_tpu: bool) -> dict:
+def bench_proof(on_tpu: bool) -> None:
     """End-to-end process+tally proof latency at the REFERENCE circuit
     dimensions (BASELINE.md north star; reference flow cli/src/utils.ts:47-102
     via snarkjs). Runs the full native pipeline — lifecycle, witness, device
     NTT/MSM proving, native pairing verify, outcome — and reports the
-    witness+prove latency across all batches. Outcome correctness is asserted
-    inside; any failure aborts the bench with a nonzero exit.
+    witness+prove latency across all batches. The trusted setup is served
+    from the on-disk proving-key cache (groth16/pkcache.py) exactly like the
+    reference loads its ceremony .zkey per run. Outcome correctness is
+    asserted inside; any failure aborts the phase.
 
     TPU-only by default (the reference-size circuits are TPU-scale;
     BENCH_PROOF=0/1 overrides)."""
     flag = os.environ.get("BENCH_PROOF")
     if (flag or ("1" if on_tpu else "0")) != "1":
-        return {}
+        return
+    import statistics
+
     from infimum_tpu.client.e2e import run_reference_e2e
 
     t = run_reference_e2e(verbose=True)
@@ -275,18 +281,20 @@ def bench_proof(on_tpu: bool) -> dict:
     # steady-state latency: batch 0 of each circuit additionally pays the
     # one-time executable load of the cached MSM/NTT graphs through the
     # tunneled backend; production proving is a long stream of batches, so
-    # report (min per-batch time) x (batch count) alongside the raw total.
+    # report (median per-batch time) x (batch count) alongside the raw total.
     def _steady(prefix):
         per_batch = [
             t[f"prove_{prefix}_{i}"] + t[f"witness_{prefix}_{i}"]
             for i in range(t["num_proofs"])
             if f"prove_{prefix}_{i}" in t
         ]
-        return min(per_batch) * len(per_batch) if per_batch else 0.0
+        if not per_batch:
+            return 0.0
+        return statistics.median(per_batch) * len(per_batch)
 
     steady = round(_steady("process") + _steady("tally")
                    + t["witness_inputs"], 3)
-    return {
+    RECORD.update({
         "proof_latency_s": t["proof_latency_s"],
         "proof_latency_steady_s": steady,
         "proof_setup_s": round(t["setup_process"] + t["setup_tally"], 3),
@@ -294,7 +302,87 @@ def bench_proof(on_tpu: bool) -> dict:
         "proof_outcome_ok": True,
         "proof_phases": {k: v for k, v in t.items()
                          if k.startswith(("prove_", "witness_", "setup_"))},
-    }
+    })
+
+
+def bench_scaling(on_tpu: bool) -> None:
+    """Virtual-mesh scaling curve (scripts/scaling_curve.py) in a CPU
+    subprocess: validates the sharded MSM program at mesh widths 1/2/4/8
+    (BASELINE.md multi-host target's single-host stand-in; the note inside
+    the artifact explains why the slope is not a hardware claim)."""
+    if os.environ.get("BENCH_SCALING", "1") != "1":
+        return
+    import pathlib
+    import subprocess
+    import sys
+
+    script = pathlib.Path(__file__).parent / "scripts" / "scaling_curve.py"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    out = subprocess.run([sys.executable, str(script)], env=env,
+                         capture_output=True, text=True, timeout=1500)
+    if out.returncode != 0:
+        raise RuntimeError(f"scaling_curve failed: {out.stdout[-200:]} "
+                           f"{out.stderr[-200:]}")
+    RECORD["msm_scaling"] = json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def bench_scale_poll(on_tpu: bool) -> None:
+    """Production-scale poll (client/scale.py): fill the largest legal poll
+    (reference runtime bounds cap a poll at 5^interaction_depth messages),
+    run every non-proving phase in full, sample-prove batches on the device
+    and project the full proving cost. BENCH_SCALE=0 disables;
+    BENCH_SCALE_MSGS / BENCH_SCALE_PARTS / BENCH_SCALE_DEPTH resize."""
+    flag = os.environ.get("BENCH_SCALE")
+    if (flag or ("1" if on_tpu else "0")) != "1":
+        return
+    from infimum_tpu.client.scale import run_scale_poll
+
+    depth = int(os.environ.get("BENCH_SCALE_DEPTH", "6"))
+    msgs = int(os.environ.get("BENCH_SCALE_MSGS", str(5 ** depth - 1)))
+    parts = int(os.environ.get("BENCH_SCALE_PARTS", "1022"))
+    t = run_scale_poll(n_participants=parts, n_messages=msgs,
+                       interaction_depth=depth, verbose=True)
+    RECORD["scale_poll"] = t
+    if "poll_2^14_projected_s" in t:
+        RECORD["poll_2^14_projected_s"] = t["poll_2^14_projected_s"]
+
+
+def main():
+    # persistent compile cache: the axon-tunneled TPU backend compiles at
+    # ~minutes per graph; cached executables load in seconds on reruns
+    from infimum_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    import jax
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+
+    failed = []
+    phases = [
+        ("msm_g1", lambda: bench_msm_g1(on_tpu, platform)),
+        ("msm_g2", lambda: bench_g2(on_tpu)),
+        ("poseidon", lambda: bench_poseidon(on_tpu)),
+        ("proof", lambda: bench_proof(on_tpu)),
+        ("scaling", lambda: bench_scaling(on_tpu)),
+        ("scale_poll", lambda: bench_scale_poll(on_tpu)),
+    ]
+    for name, fn in phases:
+        t0 = time.perf_counter()
+        try:
+            fn()
+        except Exception as e:  # keep earlier metrics; record the failure
+            traceback.print_exc()
+            RECORD[f"{name}_error"] = f"{type(e).__name__}: {e}"[:300]
+            failed.append(name)
+        RECORD[f"{name}_phase_s"] = round(time.perf_counter() - t0, 3)
+        emit()
+    if failed:
+        raise SystemExit(f"bench phases failed: {failed}")
 
 
 if __name__ == "__main__":

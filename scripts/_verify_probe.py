@@ -1,48 +1,65 @@
-import os, sys
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import jax; jax.config.update('jax_platforms', 'cpu')
+"""Verification consumer script: drives the package end-to-end at small dims
+on CPU against independent ground truth (circomlib KAT, argmax outcome),
+exercising this round's changes: pkcache-loaded proving keys, the streaming
+parallel-witness prover path, and the reference-parity commit_outcome
+semantics. Run: python scripts/_verify_probe.py"""
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import random
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+
 from infimum_tpu.hash.poseidon_host import poseidon
-assert poseidon([1]) == 18586133768512220936620570745912940619677854269274689475585506675881198879027
-print('poseidon OK', flush=True)
 
-from infimum_tpu.ff.fp import FQ_CTX
-from infimum_tpu.ff.bn254 import FQ_MOD, FR_MOD
-rng = random.Random(5)
-for _ in range(50):
-    x = rng.randrange(FQ_MOD)
-    assert FQ_CTX.from_mont_int(FQ_CTX.to_mont_int(x)) == x
-print('mont roundtrip OK', flush=True)
+assert poseidon([1]) == int(
+    "18586133768512220936620570745912940619677854269274689475585506675881198879027")
+print("poseidon circomlibjs KAT OK")
 
-import numpy as np, jax.numpy as jnp
-from infimum_tpu.curve.proj import G1_DEV, G2_DEV
-from infimum_tpu.curve.bn254_host import G1_GEN, G2_GEN, g1_mul, g2_mul
-pts = [g1_mul(G1_GEN, rng.randrange(1, 1000)) for _ in range(17)]
-enc = G1_DEV.encode_affine(pts)
-one = np.broadcast_to(np.asarray(G1_DEV.one((len(pts),))), enc[:, 0].shape)
-dec = G1_DEV.decode((jnp.asarray(enc[:, 0]), jnp.asarray(enc[:, 1]),
-                     jnp.asarray(one)))
-assert dec == pts, 'g1 encode/decode roundtrip'
-qts = [g2_mul(G2_GEN, rng.randrange(1, 1000)) for _ in range(9)]
-enc2 = G2_DEV.encode_affine(qts)
-one2 = np.broadcast_to(np.asarray(G2_DEV.one((len(qts),))), enc2[:, 0].shape)
-dec2 = G2_DEV.decode((jnp.asarray(enc2[:, 0]), jnp.asarray(enc2[:, 1]),
-                      jnp.asarray(one2)))
-assert dec2 == qts, 'g2 encode/decode roundtrip'
-print('encode/decode batch-inv OK', flush=True)
+from infimum_tpu.client.user import Coordinator, Participant
+from infimum_tpu.client.prover import ProverKeys
+from infimum_tpu.pallet import InfimumPallet
+from infimum_tpu.circuits.process import ProcessCircuit
+from infimum_tpu.circuits.tally import TallyCircuit
+from infimum_tpu.groth16.pkcache import setup_cached
 
-from infimum_tpu.groth16.r1cs import ConstraintSystem, LC
-from infimum_tpu.groth16.groth16 import setup, prove, verify, verify_py
-cs = ConstraintSystem()
-x = cs.alloc_public()
-y = cs.alloc()
-cs.hint(y, lambda v: v * v % FR_MOD, (LC.var(x),))
-cs.enforce(LC.var(x), LC.var(x), LC.var(y))
-w = cs.compute_witness({x: 7})
-pk = setup(cs, random.Random(3))
-pf = prove(pk, cs, w, rng=random.Random(4))
-assert verify(pk.vk, pf, [7]) is True, 'native verify accept'
-assert verify_py(pk.vk, pf, [7]) is True, 'python verify accept'
-assert verify(pk.vk, pf, [8]) is False, 'native verify reject'
-print('groth16 native+python verify OK', flush=True)
-print('ALL VERIFY CHECKS PASSED', flush=True)
+pc = ProcessCircuit(state_tree_depth=4, msg_tree_depth=1, msg_batch_depth=1,
+                    vote_option_tree_depth=1)
+tc = TallyCircuit(state_tree_depth=4, int_state_tree_depth=1,
+                  vote_option_tree_depth=1)
+with tempfile.TemporaryDirectory() as d:
+    setup_cached(pc.cs, random.Random(11), "p", cache_dir=d)
+    setup_cached(tc.cs, random.Random(12), "t", cache_dir=d)
+    # second call loads from disk; proofs below use the LOADED keys
+    ppk = setup_cached(pc.cs, random.Random(11), "p", cache_dir=d)
+    tpk = setup_cached(tc.cs, random.Random(12), "t", cache_dir=d)
+print("pkcache miss+hit OK")
+
+keys = ProverKeys(pc, tc, ppk, tpk)
+pallet = InfimumPallet()
+coordinator = Coordinator("alice", sk=0xA11CE, keys=keys)
+bob = Participant("bob", 0xB0B)
+carol = Participant("carol", 0xCA401)
+coordinator.register(pallet)
+coordinator.create_poll(pallet, 12, 12)
+pallet.run_to_block(2)
+bob.register(pallet, 0)
+carol.register(pallet, 0)
+pallet.run_to_block(14)
+coordinator.merge_poll_state(pallet)
+# two batches of messages -> exercises the forked streaming witness pool
+for i, (who, idx, opt) in enumerate(
+        [(bob, 1, 3), (carol, 2, 3), (bob, 1, 3)]):
+    who.vote(pallet, 0, coordinator.public_key, state_index=idx,
+             vote_option=opt, weight=1, nonce=1, salt=500 + i)
+pallet.run_to_block(26)
+coordinator.merge_poll_state(pallet)
+outcome_index = coordinator.prove_poll_results(pallet, 0,
+                                               rng=random.Random(3))
+assert pallet.polls[0].outcome == 3, pallet.polls[0].outcome
+print(f"e2e outcome OK (option {pallet.polls[0].outcome} wins; "
+      f"proofs Groth16-verified by the pallet's independent pairing)")

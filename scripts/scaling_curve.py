@@ -1,0 +1,96 @@
+"""Virtual-mesh MSM scaling curve: msm_sharded on 1/2/4/8 virtual CPU
+devices, one JSON line out.
+
+This is the CPU stand-in VERDICT r3 asked for until multi-chip TPU hardware
+exists: it validates that the sharded program (shard_map + all_gather +
+tree-reduction, parallel/msm.py) compiles and runs at every mesh size and
+reports the wall-clock curve. NOTE the numbers are NOT a hardware scaling
+claim: all virtual devices share this host's cores (2 in CI), so ideal
+scaling is impossible by construction — the artifact is the curve's
+existence and bit-exact correctness at every width, not its slope.
+
+Run: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+     python scripts/scaling_curve.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from infimum_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+    import random
+
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from infimum_tpu.curve.bn254_host import G1_GEN, g1_mul
+    from infimum_tpu.curve.proj import G1_DEV
+    from infimum_tpu.ff.bn254 import FR_MOD
+    from infimum_tpu.msm.pippenger import (
+        combine_windows, encode_msm_inputs, msm_host,
+    )
+    from infimum_tpu.parallel.msm import make_sharded_window_sums
+
+    n = int(os.environ.get("SCALING_N", str(1 << 12)))
+    c = int(os.environ.get("SCALING_C", "8"))
+    lanes = int(os.environ.get("SCALING_LANES", "8"))
+    reps = int(os.environ.get("SCALING_REPS", "3"))
+
+    rng = random.Random(31)
+    nbase = 64
+    base = [g1_mul(G1_GEN, rng.randrange(1, FR_MOD)) for _ in range(nbase)]
+    points = [base[i % nbase] for i in range(n)]
+    scalars = [rng.randrange(FR_MOD) for _ in range(n)]
+    agg = [0] * nbase
+    for i, s in enumerate(scalars):
+        agg[i % nbase] = (agg[i % nbase] + s) % FR_MOD
+    want = msm_host(base, agg)
+
+    curve = {}
+    for d in (1, 2, 4, 8):
+        devs = jax.devices()[:d]
+        if len(devs) < d:
+            break
+        mesh = Mesh(np.array(devs), ("dp",))
+        pts, sc = encode_msm_inputs(points, scalars, G1_DEV, d * lanes)
+        fn = jax.jit(make_sharded_window_sums(mesh, "dp", G1_DEV, c, lanes))
+        sh = NamedSharding(mesh, P("dp"))
+        dp = jax.device_put(jax.numpy.asarray(pts), sh)
+        ds = jax.device_put(jax.numpy.asarray(sc), sh)
+        wins = jax.block_until_ready(fn(dp, ds))          # compile + warm
+        assert combine_windows(G1_DEV, wins, c) == want, f"mismatch at d={d}"
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(dp, ds))
+            times.append(time.perf_counter() - t0)
+        curve[str(d)] = round(min(times) * 1e3, 1)
+
+    print(json.dumps({
+        "msm_scaling_curve_ms": curve, "n": n, "c": c, "lanes": lanes,
+        "correct": True,
+        "note": ("virtual CPU mesh on a shared host - validates the sharded "
+                 "program at every width, not a hardware scaling claim"),
+    }))
+
+
+if __name__ == "__main__":
+    main()

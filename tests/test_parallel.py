@@ -122,3 +122,22 @@ def test_parallel_witness_matches_sequential():
     seq = [tc.assignment(v) for v in batch_values]
     par = parallel_assignments(tc, batch_values, processes=2)
     assert par == seq
+
+
+@pytest.mark.slow
+def test_msm_sharded_production_shape(mesh):
+    """Production kernel shape across the 8-virtual-device mesh: c=8
+    (256-bucket windows, the TPU configuration groth16/groth16.py dispatches)
+    with 2^12 points — the shape class VERDICT r3 flagged as untested
+    multi-chip. Bit-exact vs the host Pippenger."""
+    rng = random.Random(13)
+    n = 1 << 12
+    nbase = 64
+    base = [g1_mul(G1_GEN, rng.randrange(1, FR_MOD)) for _ in range(nbase)]
+    points = [base[i % nbase] for i in range(n)]
+    scalars = [rng.randrange(FR_MOD) for _ in range(n)]
+    got = msm_sharded(points, scalars, mesh, c=8, lanes=8)
+    agg = [0] * nbase
+    for i, s in enumerate(scalars):
+        agg[i % nbase] = (agg[i % nbase] + s) % FR_MOD
+    assert got == msm_host(base, agg)
