@@ -31,8 +31,8 @@ def add(p, q):
     delta = (y1 - A * x1) * (x2 + y2) % P
     tau = beta * gamma % P
     dtau = D * tau % P
-    x3 = (beta + gamma) * pow(1 + dtau, P - 2, P) % P
-    y3 = (delta + A * beta - gamma) * pow(1 - dtau, P - 2, P) % P
+    x3 = (beta + gamma) * pow(1 + dtau, -1, P) % P
+    y3 = (delta + A * beta - gamma) * pow(1 - dtau, -1, P) % P
     return (x3, y3)
 
 

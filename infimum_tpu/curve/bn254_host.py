@@ -33,7 +33,7 @@ B1 = 3
 def _fq2_inv(a):
     c0, c1 = a
     norm = (c0 * c0 + c1 * c1) % Q
-    inv = pow(norm, Q - 2, Q)
+    inv = pow(norm, -1, Q) if norm else 0
     return (c0 * inv % Q, (-c1) * inv % Q)
 
 
@@ -80,7 +80,8 @@ class _FqOps:
 
     @staticmethod
     def inv(a):
-        return pow(a, Q - 2, Q)
+        a %= Q
+        return pow(a, -1, Q) if a else 0
 
     @staticmethod
     def eq(a, b):

@@ -32,11 +32,15 @@ BN_X = 4965661367192848881
 
 
 def fr_inv(a: int) -> int:
-    return pow(a % FR_MOD, FR_MOD - 2, FR_MOD)
+    # extended-Euclid pow(x, -1, p) is ~50x faster than Fermat pow(x, p-2, p)
+    # in CPython; keep the 0 -> 0 convention Fermat gave implicitly
+    a %= FR_MOD
+    return pow(a, -1, FR_MOD) if a else 0
 
 
 def fq_inv(a: int) -> int:
-    return pow(a % FQ_MOD, FQ_MOD - 2, FQ_MOD)
+    a %= FQ_MOD
+    return pow(a, -1, FQ_MOD) if a else 0
 
 
 def fr_pow(a: int, e: int) -> int:

@@ -358,21 +358,66 @@ def _h_graph(logm: int):
     return lambda a_e, b_e, c_e: h_graph(a_e, b_e, c_e, *consts)
 
 
+def compute_h_host(cs: ConstraintSystem, witness: list[int]) -> list[int]:
+    """Host-bignum twin of compute_h: same coset-evaluation reduction in
+    plain Python ints. Used on non-TPU platforms at large domain sizes,
+    where XLA:CPU compiling the unrolled limb NTT pipeline costs tens of
+    minutes and tens of GB of RSS for a graph that runs once — ~10 s of
+    Python modmuls replaces it. Bit-exact vs the device path (tested)."""
+    from ..ntt.ntt import ntt_host, intt_host
+
+    rows = _qap_rows(cs)
+    m = _domain_size(cs)
+    a_e, b_e, c_e = [0] * m, [0] * m, [0] * m
+    for j, (a, b, c) in enumerate(rows):
+        a_e[j] = a.eval(witness)
+        b_e[j] = b.eval(witness)
+        c_e[j] = c.eval(witness)
+
+    g = COSET_GEN
+    g_pows = [1] * m
+    for i in range(1, m):
+        g_pows[i] = g_pows[i - 1] * g % P
+
+    def coset_fwd(evals):
+        coeffs = intt_host(evals)
+        return ntt_host([coeffs[i] * g_pows[i] % P for i in range(m)])
+
+    za, zb, zc = coset_fwd(a_e), coset_fwd(b_e), coset_fwd(c_e)
+    z_inv = fr_inv((pow(g, m, P) - 1) % P)
+    h_evals = [(za[i] * zb[i] - zc[i]) % P * z_inv % P for i in range(m)]
+    hc = intt_host(h_evals)
+    g_inv = fr_inv(g)
+    gi = 1
+    h = [0] * m
+    for i in range(m):
+        h[i] = hc[i] * gi % P
+        gi = gi * g_inv % P
+    assert h[m - 1] == 0, "h has unexpected degree"
+    return h[: m - 1]
+
+
 def compute_h(cs: ConstraintSystem, witness: list[int]) -> list[int]:
     """Coefficients of h(x) = (a(x) b(x) - c(x)) / Z(x) via device coset NTT.
 
     Row evaluation (a|_H, b|_H, c|_H) runs on the device as batched sparse
     matvecs (groth16/rowval.py) instead of per-term Python bigints; the NTT
-    pipeline is a single jit call (_h_graph)."""
+    pipeline is a single jit call (_h_graph). On non-TPU platforms, domains
+    >= INFIMUM_HOST_H_THRESHOLD (default 2^13) take the host-bignum path
+    instead — see compute_h_host."""
     import os
     import numpy as np
     from ..ff.fp import FR_CTX
+    from ..utils.backend import platform
     from ..utils.profiling import Stopwatch
     from .rowval import eval_rows_device
 
     sw = Stopwatch()
     m = _domain_size(cs)
     logm = m.bit_length() - 1
+    if platform() != "tpu" and m >= int(
+            os.environ.get("INFIMUM_HOST_H_THRESHOLD", str(1 << 13))):
+        return compute_h_host(cs, witness)
 
     with sw.stage("sparse_rows"):
         sp = _sparse_rows(cs)

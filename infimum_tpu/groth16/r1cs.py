@@ -58,7 +58,12 @@ class LC:
         return LC({i: (c * k) % P for i, c in self.terms.items()} if k else {})
 
     def eval(self, assignment) -> int:
-        return sum(c * assignment[i] for i, c in self.terms.items()) % P
+        # hot loop #1 (witnessing + checking walks millions of terms):
+        # a plain loop beats the genexpr-in-sum by ~30% in CPython
+        acc = 0
+        for i, c in self.terms.items():
+            acc += c * assignment[i]
+        return acc % P
 
     def is_const(self):
         return all(i == 0 for i in self.terms)
@@ -124,7 +129,7 @@ class ConstraintSystem:
         """Returns LC of a bit that is 1 iff a == 0 (circomlib IsZero)."""
         inv = self.alloc()
         out = self.alloc()
-        self.hint(inv, lambda x: pow(x, P - 2, P) if x else 0, (a,))
+        self.hint(inv, lambda x: pow(x, -1, P) if x else 0, (a,))
         self.hint(out, lambda x: 0 if x else 1, (a,))
         out_lc = LC.var(out)
         # out = -a*inv + 1 ;  a*out = 0

@@ -86,3 +86,14 @@ def test_tampered_proof_rejected():
 
     bad = Proof(a=g1_add(proof.a, G1_GEN), b=proof.b, c=proof.c)
     assert not verify(pk.vk, bad, [55, 16])
+
+
+def test_compute_h_host_matches_device():
+    """compute_h_host (the large-domain CPU fallback) is bit-exact vs the
+    device NTT pipeline on the same witness."""
+    from infimum_tpu.groth16.groth16 import compute_h_host
+
+    cs, prod, total, x, y = _toy_circuit()
+    cs.num2bits(LC.var(x), 8)         # widen the domain a little
+    w = cs.compute_witness({prod: 21, total: 10, x: 3, y: 7})
+    assert compute_h_host(cs, w) == compute_h(cs, w)
