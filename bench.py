@@ -279,24 +279,30 @@ def bench_proof(on_tpu: bool) -> None:
     t = run_reference_e2e(verbose=True)
 
     # steady-state latency: batch 0 of each circuit additionally pays the
-    # one-time executable load of the cached MSM/NTT graphs through the
-    # tunneled backend; production proving is a long stream of batches, so
-    # report (median per-batch time) x (batch count) alongside the raw total.
-    def _steady(prefix):
-        per_batch = [
+    # one-time per-process trace+load of the cached MSM/NTT executables
+    # through the tunneled backend; production proving is a long stream of
+    # batches, so report median-over-batches-after-the-first x batch count
+    # alongside the raw total (both medians also emitted individually).
+    def _batches(prefix):
+        return [
             t[f"prove_{prefix}_{i}"] + t[f"witness_{prefix}_{i}"]
             for i in range(t["num_proofs"])
             if f"prove_{prefix}_{i}" in t
         ]
-        if not per_batch:
-            return 0.0
-        return statistics.median(per_batch) * len(per_batch)
 
-    steady = round(_steady("process") + _steady("tally")
+    def _steady_median(per_batch):
+        tail = per_batch[1:] if len(per_batch) > 1 else per_batch
+        return statistics.median(tail) if tail else 0.0
+
+    pb, tb = _batches("process"), _batches("tally")
+    med_p, med_t = _steady_median(pb), _steady_median(tb)
+    steady = round(med_p * len(pb) + med_t * len(tb)
                    + t["witness_inputs"], 3)
     RECORD.update({
         "proof_latency_s": t["proof_latency_s"],
         "proof_latency_steady_s": steady,
+        "proof_process_batch_median_s": round(med_p, 3),
+        "proof_tally_batch_median_s": round(med_t, 3),
         "proof_setup_s": round(t["setup_process"] + t["setup_tally"], 3),
         "proof_batches": t["num_proofs"],
         "proof_outcome_ok": True,

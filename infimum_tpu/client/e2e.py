@@ -92,7 +92,8 @@ def run_reference_e2e(config: dict | None = None, verbose: bool = False,
         pallet = InfimumPallet()
         coordinator = Coordinator("alice", sk=0xA11CE, keys=keys)
         participants = [Participant(n, sk) for n, sk in
-                        (("bob", 0xB0B), ("charlie", 0xC0C), ("dave", 0xD0D))]
+                        (("bob", 0xB0B), ("charlie", 0xC0C), ("dave", 0xD0D),
+                         ("erin", 0xE417), ("frank", 0xF7A4))]
         coordinator.register(pallet)
         coordinator.create_poll(pallet, SIGNUP, VOTING)
         pallet.run_to_block(2)
@@ -100,12 +101,14 @@ def run_reference_e2e(config: dict | None = None, verbose: bool = False,
             p.register(pallet, 0)
         pallet.run_to_block(14)
         coordinator.merge_poll_state(pallet)
-        # 6 interactions -> two process batches (5^1 msgs each): the second
-        # batch shows steady-state prove latency (caches warm). Messages are
-        # processed in reverse publish order (process-messages.circom:228),
-        # so only the last-published vote is valid (nonce 1); the duplicates
-        # are in-circuit no-ops and the outcome stays option 5.
-        for i in range(6):
+        # 11 interactions -> three process batches (5^1 msgs each), and five
+        # registrations -> three tally batches: batch 0 of each circuit pays
+        # the one-time per-process executable loads, so >= 2 further batches
+        # give an honest steady-state median. Messages are processed in
+        # reverse publish order (process-messages.circom:228), so only the
+        # last-published vote is valid (nonce 1); the duplicates are
+        # in-circuit no-ops and the outcome stays option 5.
+        for i in range(11):
             participants[0].vote(pallet, 0, coordinator.public_key,
                                  state_index=1, vote_option=5, weight=1,
                                  nonce=1, salt=1000 + i)

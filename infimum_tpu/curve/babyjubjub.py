@@ -47,16 +47,44 @@ def neg(p):
 IDENTITY = (0, 1)
 
 
+def _ext_add(p, q):
+    """Unified extended-coordinate addition (X, Y, T, Z), Hisil et al.
+    "add-2008-hwcd": no inversions — the affine `add` costs two modular
+    inverses per step, which dominated host EdDSA/ECDH (hot path of message
+    publication and replay). Complete here because d is a non-square and a
+    a square mod P (checked in tests against the affine ladder)."""
+    x1, y1, t1, z1 = p
+    x2, y2, t2, z2 = q
+    a = x1 * x2 % P
+    b = y1 * y2 % P
+    c = D * t1 % P * t2 % P
+    dd = z1 * z2 % P
+    e = ((x1 + y1) * (x2 + y2) - a - b) % P
+    f = (dd - c) % P
+    g = (dd + c) % P
+    h = (b - A * a) % P
+    return (e * f % P, g * h % P, e * h % P, f * g % P)
+
+
 def mul(p, n: int):
-    result = IDENTITY
-    addend = p
+    """Scalar multiplication via extended coordinates: one inversion total
+    (the final normalization) instead of two per point addition."""
     n = int(n)
+    if n <= 0:
+        return IDENTITY if n == 0 else mul(neg(p), -n)
+    x, y = p
+    acc = (0, 1, 0, 1)                       # identity
+    base = (x, y, x * y % P, 1)
     while n > 0:
         if n & 1:
-            result = add(result, addend)
-        addend = add(addend, addend)
+            acc = _ext_add(acc, base)
+        base = _ext_add(base, base)
         n >>= 1
-    return result
+    xr, yr, _, zr = acc
+    if zr == 0:
+        return IDENTITY
+    zi = pow(zr, -1, P)
+    return (xr * zi % P, yr * zi % P)
 
 
 def is_on_curve(p) -> bool:

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 import random
 from dataclasses import dataclass
 
@@ -236,15 +237,21 @@ def _msm(points, scalars, curve=G1_DEV, lanes: int | None = None,
         # hand-written Mosaic pipeline (msm/pallas_msm.py), ~30x the XLA
         # kernel on a v5e; pad the chunk count to a power of two so the
         # prover's five big MSMs share compile-cache entries
-        from ..msm.pallas_msm import msm_pallas
+        import numpy as np
+        from ..ff.limbs import NLIMBS, batch_to_limbs
+        from ..msm import pallas_msm as PM
 
         planes = 1024 if curve.name == "g1" else 256
         t = 1 << (max(1, math.ceil(len(pts) / planes)) - 1).bit_length()
-        pad = t * planes - len(pts)
-        if pad:
-            pts += [pts[0]] * pad        # scalar-0 padding: digit 0 is
-            sc += [0] * pad              # never accumulated by the kernel
-        return msm_pallas(pts, sc, lanes=planes, curve=curve.name)
+        t = max(t, int(os.environ.get(          # shape sharing, see _msm_cached
+            "INFIMUM_MSM_MIN_T", "256" if curve.name == "g1" else "1024")))
+        spec = PM._SPECS[curve.name]
+        rows = np.zeros((t * planes, spec.AF), np.uint32)
+        rows[:len(pts)] = spec.encode_affine_rows(pts)
+        scl = np.zeros((t * planes, NLIMBS), np.uint32)
+        scl[:len(sc)] = batch_to_limbs(sc)   # zero-row tail: scalar 0 =>
+        return PM.msm_pallas_rows(            # digit 0, never accumulated
+            rows, scl, planes, curve.name)
 
     pad = 64 * math.ceil(len(pts) / 64) - len(pts)
     pts += [pts[0]] * pad
@@ -280,6 +287,13 @@ def _msm_cached(pk: "ProvingKey", name: str, points, scalars, curve=G1_DEV):
         n = len(points)
         t = max(1, math.ceil(n / lanes))
         t = 1 << (t - 1).bit_length()     # pow2: shared compile-cache entries
+        # pad small queries up to the reference process circuit's chunk
+        # count so every circuit shares ONE kernel shape per curve: the
+        # extra zero-scalar chunks are sub-second dead work, while each
+        # distinct shape costs minutes of one-time per-process trace+load
+        # through the tunneled runtime
+        t = max(t, int(os.environ.get(
+            "INFIMUM_MSM_MIN_T", "256" if curve.name == "g1" else "1024")))
         rows = np.zeros((t * lanes, spec.AF), np.uint32)
         rows[:n] = spec.encode_affine_rows(safe)
         import jax.numpy as jnp
@@ -417,6 +431,13 @@ def compute_h(cs: ConstraintSystem, witness: list[int]) -> list[int]:
     logm = m.bit_length() - 1
     if platform() != "tpu" and m >= int(
             os.environ.get("INFIMUM_HOST_H_THRESHOLD", str(1 << 13))):
+        return compute_h_host(cs, witness)
+    # ON TPU, small domains also go to the host: ~1s of Python modmuls at
+    # m = 2^14 (the tally circuit) vs minutes of one-time per-process
+    # trace+load of the device NTT graph through the tunneled runtime —
+    # the device pipeline only pays off on the big process domain
+    if platform() == "tpu" and m <= int(
+            os.environ.get("INFIMUM_TPU_HOST_H_MAX", str(1 << 14))):
         return compute_h_host(cs, witness)
 
     with sw.stage("sparse_rows"):

@@ -17,22 +17,37 @@ from .grain import poseidon_params, FULL_ROUNDS, PARTIAL_ROUNDS, MAX_WIDTH
 
 
 def poseidon_perm(state: list[int]) -> list[int]:
-    """Full Poseidon permutation on a width-t state (plain ints mod r)."""
+    """Full Poseidon permutation on a width-t state (plain ints mod r).
+
+    Host tree building hashes millions of leaves at production poll sizes
+    (hot loop of pallet inserts + replay, reference poll/state.rs:176-225),
+    so this is written for CPython speed: x^5 as three multiplies instead
+    of pow(), and MDS row sums with a single deferred reduction."""
     t = len(state)
+    p = FR_MOD
     ark, mds = poseidon_params(t)
     r_p = PARTIAL_ROUNDS[t - 2]
     half = FULL_ROUNDS // 2
-    s = [x % FR_MOD for x in state]
+    s = [x % p for x in state]
+    k = 0
     for rnd in range(FULL_ROUNDS + r_p):
-        s = [(x + ark[rnd * t + i]) % FR_MOD for i, x in enumerate(s)]
-        if rnd < half or rnd >= half + r_p:
-            s = [pow(x, 5, FR_MOD) for x in s]
-        else:
-            s[0] = pow(s[0], 5, FR_MOD)
-        s = [
-            sum(mds[i][j] * s[j] for j in range(t)) % FR_MOD
-            for i in range(t)
-        ]
+        full = rnd < half or rnd >= half + r_p
+        for i in range(t):
+            x = s[i] + ark[k + i]
+            if full or i == 0:
+                x %= p
+                x2 = x * x % p
+                x = x2 * x2 % p * x % p
+            s[i] = x                    # lazily reduced; mds sum reduces
+        k += t
+        ns = [0] * t
+        for i in range(t):
+            row = mds[i]
+            acc = 0
+            for j in range(t):
+                acc += row[j] * s[j]
+            ns[i] = acc % p
+        s = ns
     return s
 
 
