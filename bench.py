@@ -234,7 +234,9 @@ def bench_poseidon(on_tpu: bool) -> None:
         from infimum_tpu.hash.poseidon import poseidon_hash_device as fn
         kernel = "xla"
 
-    jfn = jax.jit(fn)
+    from infimum_tpu.utils.aot import aot_jit
+
+    jfn = aot_jit(f"bench_poseidon_{kernel}", fn)
     out = _force(jfn(enc))                        # compile + warm
     got = FR_CTX.decode(out[:64])
     want = [poseidon_ref([c[i] for c in cols_host]) for i in range(64)]

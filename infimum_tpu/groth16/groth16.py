@@ -353,7 +353,6 @@ def _h_graph(logm: int):
               *_stage_consts_dev(logm, False),
               *_stage_consts_dev(logm, True))
 
-    @jax.jit
     def h_graph(a_e, b_e, c_e, cfwd, cinv, revf, twf, nif, revi, twi, nii):
         def intt(x):
             return _ntt_core(x, logm, True, revi, twi, nii)
@@ -368,7 +367,12 @@ def _h_graph(logm: int):
         h_evals = FR_CTX.mont_mul(prod, zi[None, :])
         return FR_CTX.mont_mul(intt(h_evals), cinv)
 
-    return lambda a_e, b_e, c_e: h_graph(a_e, b_e, c_e, *consts)
+    # AOT export cache: re-tracing the unrolled NTT pipeline costs ~1 min
+    # per process (utils/aot.py); the exported module deserializes in ~0 s
+    from ..utils.aot import aot_jit
+
+    wrapped = aot_jit(f"h_graph_{logm}", h_graph)
+    return lambda a_e, b_e, c_e: wrapped(a_e, b_e, c_e, *consts)
 
 
 def compute_h_host(cs: ConstraintSystem, witness: list[int]) -> list[int]:

@@ -365,7 +365,6 @@ def _msm_fn(T, W, nwin, interpret, curve: str = "g1"):
         Kpad *= 2
     S2 = Kpad // 128
 
-    @jax.jit
     def run(pts_rows, sc):
         def body(_, w):
             limb = w // 2
@@ -395,7 +394,13 @@ def _msm_fn(T, W, nwin, interpret, curve: str = "g1"):
         wins = _weighted_call(spec, cdigs, cptss, nwin, S2, interpret)
         return wins[:, :, 0, 0]                        # (nwin, PR)
 
-    return run
+    if interpret:
+        return jax.jit(run)
+    # AOT export cache: re-tracing this pipeline costs minutes per process
+    # (utils/aot.py); the exported module deserializes in ~0 s
+    from ..utils.aot import aot_jit
+
+    return aot_jit(f"msm_{curve}_t{T}_w{W}_n{nwin}", run)
 
 
 def _decode_window(spec: CurveSpec, limbs):

@@ -1,0 +1,101 @@
+"""Ahead-of-time export cache for the big TPU kernels.
+
+Even with a warm persistent compile cache, calling a jitted kernel in a
+fresh process pays full Python tracing + StableHLO lowering before the
+cache can be consulted — 1-4 MINUTES per large kernel through the tunneled
+runtime (measured: G2 MSM pipeline trace+lower 176 s, compile-from-cache
+37 s, run 2 s). `jax.export` serializes the lowered module itself, so a
+later process skips tracing entirely: deserialize ~0 s, compile-cache hit +
+run ~5 s.
+
+Usage: `aot_jit(name, fn)` returns a callable that, per argument-shape
+signature, loads (or creates) the exported artifact under
+.jax_cache/<machine>/export/. Keys include the platform, jax version and a
+digest of the whole infimum_tpu source tree, so ANY source edit
+invalidates every artifact (over-invalidation is deliberate: a stale
+export would silently compute with old kernel code). Non-TPU platforms and
+export failures fall back to plain jax.jit.
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+import os
+import pathlib
+import sys
+
+
+@functools.lru_cache(maxsize=1)
+def _source_digest() -> str:
+    root = pathlib.Path(__file__).resolve().parents[1]
+    h = hashlib.sha256()
+    for p in sorted(root.rglob("*.py")):
+        h.update(p.name.encode())
+        h.update(p.read_bytes())
+    return h.hexdigest()[:16]
+
+
+def _cache_dir() -> pathlib.Path:
+    import jax
+
+    base = jax.config.jax_compilation_cache_dir
+    if not base:
+        from .jaxcache import enable_persistent_cache
+
+        base = enable_persistent_cache()
+    d = pathlib.Path(base) / "export"
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+def aot_enabled() -> bool:
+    if os.environ.get("INFIMUM_AOT", "1") != "1":
+        return False
+    from .backend import platform
+
+    return platform() == "tpu"
+
+
+def aot_jit(name: str, fn):
+    """jax.jit(fn) with an on-disk exported-module cache (TPU only).
+
+    Returns a callable with the same signature; the first call per process
+    either deserializes the exported module (skipping tracing) or exports
+    and saves it. Positional array arguments only."""
+    import jax
+
+    jfn = jax.jit(fn)
+    if not aot_enabled():
+        return jfn
+    state = {}
+
+    def call(*args):
+        exp = state.get("exp")
+        if exp is None:
+            from jax import export as jexport
+
+            sig = ",".join(f"{a.dtype}{list(a.shape)}" for a in args)
+            key = hashlib.sha256(
+                f"{name};{sig};{jax.__version__};{_source_digest()}".encode()
+            ).hexdigest()[:24]
+            path = _cache_dir() / f"aot_{name}_{key}.bin"
+            try:
+                if path.exists():
+                    exp = jexport.deserialize(path.read_bytes())
+                else:
+                    exp = jexport.export(jfn)(*[
+                        jax.ShapeDtypeStruct(a.shape, a.dtype) for a in args])
+                    tmp = path.with_suffix(".tmp")
+                    tmp.write_bytes(exp.serialize())
+                    os.replace(tmp, path)
+            except Exception as e:  # unsupported primitive, version skew, ...
+                print(f"[aot] export unavailable for {name} "
+                      f"({type(e).__name__}: {e}); falling back to jit",
+                      file=sys.stderr, flush=True)
+                state["exp"] = jfn
+                return jfn(*args)
+            state["exp"] = exp
+        return exp.call(*args) if hasattr(exp, "call") else exp(*args)
+
+    return call
