@@ -129,32 +129,40 @@ def run_scale_poll(n_participants: int = 1022, n_messages: int = 15624,
     if not prove:
         return t
 
+    # Every batch's commitment chains through the pallet's own
+    # prepare_public_inputs cursor walk (validating all 3k+ metas against
+    # chain semantics); only `sample_*` batches per circuit additionally run
+    # the full witness + Groth16 prove + verify. The tally cursor only
+    # unlocks after every process commitment has advanced (provider.rs:
+    # 150-162), so the walk is over the full chain, not just the samples.
     per_batch = {"process": [], "tally": []}
     rng = random.Random(9)
-    for kind, circuit, pk, batches, k in (
-            ("process", keys.process_circuit, keys.process_pk,
-             process_batches, sample_process),
-            ("tally", keys.tally_circuit, keys.tally_pk,
-             tally_batches, sample_tally)):
-        for i, (values, meta) in enumerate(batches[:k]):
-            t0 = time.perf_counter()
-            witness = circuit.assignment(values)
-            tw = time.perf_counter() - t0
-            proof = g16_prove(pk, circuit.cs, witness, rng=rng)
-            tp = time.perf_counter() - t0 - tw
-            # verify against the publics the PALLET would derive itself
-            pkind, inputs, new_c = poll.prepare_public_inputs(
-                coordinator.public_key, meta["new_commitment"])
-            assert pkind == kind
-            assert inputs == circuit.public_inputs(values)
-            assert g16_verify(pk.vk, proof, inputs), f"{kind} {i}"
-            poll.commit(new_c)
-            per_batch[kind].append(round(tw + tp, 3))
-            t[f"witness_{kind}_{i}"] = round(tw, 3)
-            t[f"prove_{kind}_{i}"] = round(tp, 3)
-            if verbose:
-                print(f"[{kind}_{i}] witness {tw:.2f}s prove {tp:.2f}s",
-                      file=sys.stderr, flush=True)
+    with clock("chain_walk_and_sampled_proofs"):
+        for kind, circuit, pk, batches, k in (
+                ("process", keys.process_circuit, keys.process_pk,
+                 process_batches, sample_process),
+                ("tally", keys.tally_circuit, keys.tally_pk,
+                 tally_batches, sample_tally)):
+            for i, (values, meta) in enumerate(batches):
+                pkind, inputs, new_c = poll.prepare_public_inputs(
+                    coordinator.public_key, meta["new_commitment"])
+                assert pkind == kind, (pkind, kind, i)
+                assert inputs == circuit.public_inputs(values), (kind, i)
+                poll.commit(new_c)
+                if i >= k:
+                    continue
+                t0 = time.perf_counter()
+                witness = circuit.assignment(values)
+                tw = time.perf_counter() - t0
+                proof = g16_prove(pk, circuit.cs, witness, rng=rng)
+                tp = time.perf_counter() - t0 - tw
+                assert g16_verify(pk.vk, proof, inputs), f"{kind} {i}"
+                per_batch[kind].append(round(tw + tp, 3))
+                t[f"witness_{kind}_{i}"] = round(tw, 3)
+                t[f"prove_{kind}_{i}"] = round(tp, 3)
+                if verbose:
+                    print(f"[{kind}_{i}] witness {tw:.2f}s prove {tp:.2f}s",
+                          file=sys.stderr, flush=True)
 
     # honest projection: median sampled batch x batch count, plus the fully
     # measured non-proving phases (steady-state: exclude sample 0's one-time

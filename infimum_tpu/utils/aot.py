@@ -26,13 +26,22 @@ import pathlib
 import sys
 
 
+# packages whose source can change the lowered kernels; edits to the
+# orchestration layers (client/, pallet/, maci/, witness/, circuits/, io/)
+# cannot alter an exported module and must not invalidate artifacts —
+# re-exporting every kernel costs ~10 min of tracing
+_KERNEL_PKGS = ("ff", "msm", "ntt", "hash", "curve", "groth16", "parallel",
+                "utils")
+
+
 @functools.lru_cache(maxsize=1)
 def _source_digest() -> str:
     root = pathlib.Path(__file__).resolve().parents[1]
     h = hashlib.sha256()
-    for p in sorted(root.rglob("*.py")):
-        h.update(p.name.encode())
-        h.update(p.read_bytes())
+    for pkg in _KERNEL_PKGS:
+        for p in sorted((root / pkg).rglob("*.py")):
+            h.update(p.name.encode())
+            h.update(p.read_bytes())
     return h.hexdigest()[:16]
 
 
