@@ -329,8 +329,9 @@ def bench_scaling(on_tpu: bool) -> None:
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env.setdefault("SCALING_WIDTHS", "1,8")   # bound cold-compile cost
     out = subprocess.run([sys.executable, str(script)], env=env,
-                         capture_output=True, text=True, timeout=1500)
+                         capture_output=True, text=True, timeout=2100)
     if out.returncode != 0:
         raise RuntimeError(f"scaling_curve failed: {out.stdout[-200:]} "
                            f"{out.stderr[-200:]}")
@@ -376,8 +377,8 @@ def main():
         ("msm_g2", lambda: bench_g2(on_tpu)),
         ("poseidon", lambda: bench_poseidon(on_tpu)),
         ("proof", lambda: bench_proof(on_tpu)),
-        ("scaling", lambda: bench_scaling(on_tpu)),
         ("scale_poll", lambda: bench_scale_poll(on_tpu)),
+        ("scaling", lambda: bench_scaling(on_tpu)),
     ]
     for name, fn in phases:
         t0 = time.perf_counter()

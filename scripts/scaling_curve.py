@@ -49,14 +49,16 @@ def main():
     )
     from infimum_tpu.parallel.msm import make_sharded_window_sums
 
-    n = int(os.environ.get("SCALING_N", str(1 << 12)))
+    n = int(os.environ.get("SCALING_N", str(1 << 11)))
     # c=4 by default: the c=8 bucket kernel takes >25 min to compile on
     # XLA:CPU (2-core CI hosts) for a one-shot validation run; on TPU the
     # production per-shard kernel is the Pallas pipeline (c=8), whose
     # throughput the single-chip bench captures. SCALING_C=8 opts in.
     c = int(os.environ.get("SCALING_C", "4"))
     lanes = int(os.environ.get("SCALING_LANES", "8"))
-    reps = int(os.environ.get("SCALING_REPS", "3"))
+    reps = int(os.environ.get("SCALING_REPS", "2"))
+    widths = tuple(int(w) for w in os.environ.get(
+        "SCALING_WIDTHS", "1,2,4,8").split(","))
 
     rng = random.Random(31)
     nbase = 64
@@ -69,7 +71,7 @@ def main():
     want = msm_host(base, agg)
 
     curve = {}
-    for d in (1, 2, 4, 8):
+    for d in widths:
         devs = jax.devices()[:d]
         if len(devs) < d:
             break
