@@ -55,9 +55,12 @@ def test_poseidon_pallas_matches_host(rng, n_inputs):
 
 
 @pytest.mark.slow
-def test_poseidon_pallas_max_width(rng):
-    # widest circom instantiation (t=13); interpret mode is slow, so one case
-    cols = [[rng.randrange(FR_MOD)] for _ in range(12)]
+def test_poseidon_pallas_nonfused_width(rng):
+    # t=9: the first width above _FUSED_MAX_T, exercising the non-fused
+    # constant-MDS branch (same code path as the widest t=13 instantiation;
+    # interpret-mode cost scales ~t^2 per round and t=13 alone costs >16
+    # minutes on a 2-core host, so the narrowest non-fused width is tested)
+    cols = [[rng.randrange(FR_MOD)] for _ in range(8)]
     enc = jnp.asarray(np.stack([FR_CTX.encode(c) for c in cols]))
     out = FR_CTX.decode(poseidon_hash_pallas(enc))
     assert out == [poseidon([c[0] for c in cols])]
