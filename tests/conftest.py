@@ -4,6 +4,11 @@ paths (Mesh/pjit/shard_map) are exercised without TPU hardware."""
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Route sub-32k MSMs to the host Pippenger in tests: XLA:CPU compiling the
+# 256-bucket device kernel for a one-shot mid-size MSM (e.g. the tally
+# circuit's 4.3k-point queries) costs ~25 minutes on a 2-core host, while
+# the host path runs it in seconds.
+os.environ.setdefault("INFIMUM_DEVICE_THRESHOLD", "32768")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
