@@ -350,7 +350,11 @@ def bench_scale_poll(on_tpu: bool) -> None:
     from infimum_tpu.client.scale import run_scale_poll
 
     depth = int(os.environ.get("BENCH_SCALE_DEPTH", "6"))
-    msgs = int(os.environ.get("BENCH_SCALE_MSGS", str(5 ** depth - 1)))
+    # default to a fifth of the tree (5^5-1 messages, ~8 min incl. sampled
+    # proving) so the phase fits an unknown driver budget; the full-capacity
+    # 15,624-message run is captured in SCALE_r04.json (BENCH_SCALE_MSGS
+    # overrides, e.g. =15624 for the largest legal poll)
+    msgs = int(os.environ.get("BENCH_SCALE_MSGS", str(5 ** 5 - 1)))
     parts = int(os.environ.get("BENCH_SCALE_PARTS", "1022"))
     t = run_scale_poll(n_participants=parts, n_messages=msgs,
                        interaction_depth=depth, verbose=True)
