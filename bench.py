@@ -40,9 +40,32 @@ SNARKJS_PROXY_POINTS_PER_SEC = 5e4
 
 RECORD: dict = {}
 
+# headline fields copied into the compact summary line. Four rounds of
+# `parsed:null` in the driver artifact came from the cumulative record
+# outgrowing the driver's stdout tail window (round-4 verdict weak #1), so
+# the LAST line printed is always this short fixed-field summary.
+_SUMMARY_FIELDS = (
+    "metric", "value", "unit", "vs_baseline", "correct", "best_ms",
+    "msm_g2_points_per_sec", "msm_g2_correct",
+    "poseidon_w5_hashes_per_sec", "poseidon_correct",
+    "proof_latency_steady_s", "proof_process_batch_median_s",
+    "proof_tally_batch_median_s", "proof_batches", "proof_outcome_ok",
+)
+
 
 def emit():
     print(json.dumps(RECORD), flush=True)
+    summary = {k: RECORD[k] for k in _SUMMARY_FIELDS if k in RECORD}
+    sp = RECORD.get("scale_poll")
+    if isinstance(sp, dict):
+        for k in ("n_messages", "projected_total_s", "projected_prove_s",
+                  "publish", "witness_inputs"):
+            if k in sp:
+                summary[f"scale_{k}"] = sp[k]
+    for k, v in RECORD.items():
+        if k.endswith("_error"):
+            summary[k] = v
+    print(json.dumps(summary), flush=True)
 
 
 def _force(x):

@@ -166,9 +166,17 @@ def run_scale_poll(n_participants: int = 1022, n_messages: int = 15624,
 
     # honest projection: median sampled batch x batch count, plus the fully
     # measured non-proving phases (steady-state: exclude sample 0's one-time
-    # executable loads by using the median, report sample sizes)
-    med_p = statistics.median(per_batch["process"])
-    med_t = statistics.median(per_batch["tally"])
+    # executable loads by using the median, report sample sizes). A tiny
+    # poll (or sample_*=0) can leave a sample list empty: keep the measured
+    # phase timings instead of crashing on an empty median.
+    med_p = (statistics.median(per_batch["process"])
+             if per_batch["process"] else 0.0)
+    med_t = (statistics.median(per_batch["tally"])
+             if per_batch["tally"] else 0.0)
+    if not (per_batch["process"] and per_batch["tally"]):
+        t["sampled_process"] = len(per_batch["process"])
+        t["sampled_tally"] = len(per_batch["tally"])
+        return t
     overhead = sum(t[k] for k in ("signup", "merge_registrations", "publish",
                                   "merge_interactions", "ingest_events",
                                   "witness_inputs"))

@@ -42,21 +42,33 @@ def default_cache_dir() -> str:
 def circuit_fingerprint(cs: ConstraintSystem) -> str:
     """Deterministic structural hash of a constraint system.
 
-    Full term-by-term hashing of ~10^6 terms costs seconds, so the digest
-    covers the exact shape counts plus every 97th constraint's full term
-    list — enough that any real circuit change (reordered wires, changed
-    coefficients, added constraints) shifts the key. A stale hit is caught
-    downstream anyway: proofs from a mismatched key fail self-verification.
+    Covers every term: per-LC term counts feed the sha directly and every
+    (row, wire, coeff) triple feeds a position-weighted checksum, so a
+    coefficient or wire change anywhere in the system shifts the key (a
+    sampled digest could silently reuse a stale proving key and only fail
+    at proof self-verification, with no hint of the cause). ~2 s of int
+    ops at the reference process circuit's ~4M terms, memoized per
+    ConstraintSystem instance since setup_cached and callers re-fingerprint
+    the same object.
     """
+    cached = getattr(cs, "_fingerprint_cache", None)
+    if cached is not None:
+        return cached
     h = hashlib.sha256()
     h.update(f"v{_FORMAT_VERSION};{cs.num_vars};{cs.num_public};"
              f"{len(cs.constraints)};".encode())
-    for j in range(0, len(cs.constraints), 97):
-        a, b, c = cs.constraints[j]
-        for lc in (a, b, c):
-            for i in sorted(lc.terms):
-                h.update(f"{j},{i},{lc.terms[i]};".encode())
-    return h.hexdigest()[:24]
+    mask = (1 << 127) - 1
+    checksum = 0
+    for j, row in enumerate(cs.constraints):
+        for k, lc in enumerate(row):
+            h.update(len(lc.terms).to_bytes(3, "little"))
+            w = 3 * j + k + 1
+            for i, coeff in lc.terms.items():
+                checksum = (checksum + w * (i + 1) * coeff) & mask
+    h.update(checksum.to_bytes(16, "little"))
+    out = h.hexdigest()[:24]
+    cs._fingerprint_cache = out
+    return out
 
 
 def _g1_to_arrays(points):

@@ -66,25 +66,48 @@ def aot_enabled() -> bool:
     return platform() == "tpu"
 
 
+LOAD_LOG: list[dict] = []   # per-kernel load events (path taken + duration)
+
+
+def _log_load(name: str, path_kind: str, seconds: float, detail: str = ""):
+    """Record and print which startup path a kernel load took. A fresh
+    process that silently re-traces a 2^18 NTT pipeline stalls for minutes
+    and is indistinguishable from a hang without this (round-4 verdict:
+    1,261 s in compute_h with no indication of why)."""
+    ev = {"kernel": name, "path": path_kind, "s": round(seconds, 2)}
+    if detail:
+        ev["detail"] = detail[:200]
+    LOAD_LOG.append(ev)
+    if os.environ.get("INFIMUM_AOT_QUIET") != "1":
+        print(f"[aot] {name}: {path_kind} in {ev['s']}s"
+              + (f" ({detail})" if detail else ""),
+              file=sys.stderr, flush=True)
+
+
 def aot_jit(name: str, fn):
     """jax.jit(fn) with an on-disk exported-module cache (TPU only).
 
     Returns a callable with the same signature; the first call per process
-    either deserializes the exported module (skipping tracing) or exports
-    and saves it. Positional array arguments only."""
+    and argument-shape signature either deserializes the exported module
+    (skipping tracing) or exports and saves it. Positional array arguments
+    only. Every load path (deserialize / export / jit fallback) is logged
+    with its duration to LOAD_LOG and stderr."""
+    import time
+
     import jax
 
     jfn = jax.jit(fn)
     if not aot_enabled():
         return jfn
-    state = {}
+    state: dict = {}
 
     def call(*args):
-        exp = state.get("exp")
+        sig = ",".join(f"{a.dtype}{list(a.shape)}" for a in args)
+        exp = state.get(sig)
         if exp is None:
             from jax import export as jexport
 
-            sig = ",".join(f"{a.dtype}{list(a.shape)}" for a in args)
+            t0 = time.perf_counter()
             key = hashlib.sha256(
                 f"{name};{sig};{jax.__version__};{_source_digest()}".encode()
             ).hexdigest()[:24]
@@ -92,19 +115,20 @@ def aot_jit(name: str, fn):
             try:
                 if path.exists():
                     exp = jexport.deserialize(path.read_bytes())
+                    _log_load(name, "deserialize", time.perf_counter() - t0)
                 else:
                     exp = jexport.export(jfn)(*[
                         jax.ShapeDtypeStruct(a.shape, a.dtype) for a in args])
                     tmp = path.with_suffix(".tmp")
                     tmp.write_bytes(exp.serialize())
                     os.replace(tmp, path)
+                    _log_load(name, "export", time.perf_counter() - t0)
             except Exception as e:  # unsupported primitive, version skew, ...
-                print(f"[aot] export unavailable for {name} "
-                      f"({type(e).__name__}: {e}); falling back to jit",
-                      file=sys.stderr, flush=True)
-                state["exp"] = jfn
+                _log_load(name, "jit-fallback", time.perf_counter() - t0,
+                          f"{type(e).__name__}: {e}")
+                state[sig] = jfn
                 return jfn(*args)
-            state["exp"] = exp
+            state[sig] = exp
         return exp.call(*args) if hasattr(exp, "call") else exp(*args)
 
     return call
