@@ -88,6 +88,12 @@ def run_reference_e2e(config: dict | None = None, verbose: bool = False,
         tally_pk = setup_cached(tc.cs, rng, label="tally")
     keys = ProverKeys(pc, tc, process_pk, tally_pk)
 
+    # load every kernel executable up front with per-kernel path logging,
+    # so batch 0 measures proving, not startup (client/prover.py prewarm)
+    with clock("prewarm"):
+        warm = keys.prewarm(verbose=verbose)
+    timings["kernel_load_log"] = warm["kernel_load_log"]
+
     with clock("lifecycle"):
         pallet = InfimumPallet()
         coordinator = Coordinator("alice", sk=0xA11CE, keys=keys)
@@ -124,6 +130,8 @@ def run_reference_e2e(config: dict | None = None, verbose: bool = False,
     with clock("witness_inputs"):
         process_batches, tally_batches, tb = prover.get_poll_results()
 
+    from ..groth16 import groth16 as g16
+
     batches = []
     for i, (values, meta) in enumerate(process_batches):
         with clock(f"witness_process_{i}"):
@@ -135,6 +143,7 @@ def run_reference_e2e(config: dict | None = None, verbose: bool = False,
                 "process self-verify failed"
         batches.append((serialize_proof(proof),
                         fr_to_hash_bytes(meta["new_commitment"])))
+    timings["trace_process"] = dict(g16.LAST_PROVE_TRACE)  # steady batch
     for i, (values, meta) in enumerate(tally_batches):
         with clock(f"witness_tally_{i}"):
             w = tc.assignment(values)
@@ -145,6 +154,7 @@ def run_reference_e2e(config: dict | None = None, verbose: bool = False,
                 "tally self-verify failed"
         batches.append((serialize_proof(proof),
                         fr_to_hash_bytes(meta["new_commitment"])))
+    timings["trace_tally"] = dict(g16.LAST_PROVE_TRACE)
 
     with clock("commit_outcome"):
         outcome = prover._outcome(tb)

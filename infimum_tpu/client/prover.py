@@ -89,6 +89,41 @@ class ProverKeys:
             "tally": serialize_vkey(self.tally_pk.vk),
         }
 
+    def prewarm(self, verbose: bool = True) -> dict:
+        """Load every device kernel shape both circuits need (H pipeline,
+        row evaluation, all five MSM shapes) by running one throwaway proof
+        per circuit over a zero witness, BEFORE real proving starts.
+
+        A fresh process otherwise pays the per-kernel executable loads
+        inside batch 0, where a silent slow path (export miss -> full
+        re-trace) is indistinguishable from a hang (round-4 verdict item 2:
+        batch-0 latencies of 55 s / 156 s / 1,334 s for identical work).
+        Returns {kernel_load_log, prewarm_s}; TPU-only, no-op elsewhere."""
+        import time
+
+        from ..utils.backend import platform
+        from ..utils import aot
+
+        if platform() != "tpu":
+            return {"prewarm_s": 0.0, "kernel_load_log": []}
+        t0 = time.perf_counter()
+        n_before = len(aot.LOAD_LOG)
+        for circuit, pk in ((self.process_circuit, self.process_pk),
+                            (self.tally_circuit, self.tally_pk)):
+            if pk is None:
+                continue
+            prove(pk, circuit.cs, [0] * circuit.cs.num_vars,
+                  rng=random.Random(0))
+        out = {"prewarm_s": round(time.perf_counter() - t0, 3),
+               "kernel_load_log": list(aot.LOAD_LOG[n_before:])}
+        if verbose:
+            import sys
+
+            print(f"[prewarm] {out['prewarm_s']}s, "
+                  f"{len(out['kernel_load_log'])} kernel loads",
+                  file=sys.stderr, flush=True)
+        return out
+
 
 class PollProver:
     """Per-poll proving session; replays chain events and emits proof

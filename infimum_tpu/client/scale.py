@@ -68,6 +68,11 @@ def run_scale_poll(n_participants: int = 1022, n_messages: int = 15624,
                                      1, 1, vote_option_tree_depth))
     n_options = 5 ** vote_option_tree_depth
 
+    if prove:
+        with clock("prewarm"):
+            t["kernel_load_log"] = keys.prewarm(
+                verbose=verbose)["kernel_load_log"]
+
     with clock("keygen"):
         coordinator = Coordinator("coord", sk=0xC00D, keys=keys)
         participants = [Participant(f"p{i}", sk=0x1000 + i)

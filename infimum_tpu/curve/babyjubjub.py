@@ -24,6 +24,9 @@ SUB_ORDER = 27360303589799094027808007181571593860768139721585672592002156609484
 
 def add(p, q):
     """Twisted Edwards addition (complete)."""
+    nat = _native()
+    if nat:
+        return nat.bjj_add(p, q)
     x1, y1 = p
     x2, y2 = q
     beta = x1 * y2 % P
@@ -66,12 +69,35 @@ def _ext_add(p, q):
     return (e * f % P, g * h % P, e * h % P, f * g % P)
 
 
+def _native():
+    """Native C++ twin (native/src/bjj.cc): ~2.3 ms -> ~60 us per
+    full-width scalar mult; the host hot loop of EdDSA signing/ECDH in
+    message publication and replay. INFIMUM_NATIVE_BJJ=0 forces Python."""
+    global _NATIVE
+    if _NATIVE is None:
+        import os
+
+        if os.environ.get("INFIMUM_NATIVE_BJJ", "1") != "1":
+            _NATIVE = False
+        else:
+            from .. import native
+
+            _NATIVE = native if native.available() else False
+    return _NATIVE
+
+
+_NATIVE = None
+
+
 def mul(p, n: int):
     """Scalar multiplication via extended coordinates: one inversion total
     (the final normalization) instead of two per point addition."""
     n = int(n)
     if n <= 0:
         return IDENTITY if n == 0 else mul(neg(p), -n)
+    nat = _native()
+    if nat and n < (1 << 256):
+        return nat.bjj_mul(p, n)
     x, y = p
     acc = (0, 1, 0, 1)                       # identity
     base = (x, y, x * y % P, 1)

@@ -38,6 +38,10 @@ from .r1cs import ConstraintSystem, LC
 P = FR_MOD
 COSET_GEN = 5  # Fr's standard multiplicative generator (matches arkworks)
 
+# stage timings of the most recent prove() call (utils/profiling.Stopwatch
+# as_dict) — the bench surfaces this per-stage latency attribution
+LAST_PROVE_TRACE: dict = {}
+
 
 @dataclass
 class ProvingKey:
@@ -211,6 +215,19 @@ def setup(cs: ConstraintSystem, rng: random.Random | None = None) -> ProvingKey:
     )
 
 
+def _query_t(n: int, lanes: int, curve_name: str) -> int:
+    """Chunk count for an n-point cached query: next pow2 of ceil(n/lanes).
+
+    Round 4 forced every circuit onto the process circuit's shape
+    (t>=256 G1 / t>=1024 G2) because each distinct shape cost minutes of
+    per-process trace+load; with the AOT export cache that cost is seconds,
+    and inheriting the 262k-row process shape made 95% of the tally
+    circuit's device work padding (round-4 verdict weak #3). Each key now
+    gets its natural shape; INFIMUM_MSM_MIN_T can still force a floor."""
+    t = 1 << (max(1, math.ceil(n / lanes)) - 1).bit_length()
+    return max(t, int(os.environ.get("INFIMUM_MSM_MIN_T", "1")))
+
+
 def _msm(points, scalars, curve=G1_DEV, lanes: int | None = None,
          host_threshold: int | None = None):
     """MSM skipping infinity points / zero scalars; pads to reuse compiled
@@ -242,9 +259,7 @@ def _msm(points, scalars, curve=G1_DEV, lanes: int | None = None,
         from ..msm import pallas_msm as PM
 
         planes = 1024 if curve.name == "g1" else 256
-        t = 1 << (max(1, math.ceil(len(pts) / planes)) - 1).bit_length()
-        t = max(t, int(os.environ.get(          # shape sharing, see _msm_cached
-            "INFIMUM_MSM_MIN_T", "256" if curve.name == "g1" else "1024")))
+        t = _query_t(len(pts), planes, curve.name)
         spec = PM._SPECS[curve.name]
         rows = np.zeros((t * planes, spec.AF), np.uint32)
         rows[:len(pts)] = spec.encode_affine_rows(pts)
@@ -259,20 +274,12 @@ def _msm(points, scalars, curve=G1_DEV, lanes: int | None = None,
     return msm_device(pts, sc, curve=curve, lanes=lanes)
 
 
-def _msm_cached(pk: "ProvingKey", name: str, points, scalars, curve=G1_DEV):
-    """MSM over a proving-key query with the point encoding cached on the key.
-
-    The reference re-reads zkey sections per proof (snarkjs fullProve,
-    cli/src/utils.ts:69-92); here each query is encoded to device limb rows
-    once and every subsequent proof only ships scalars. Infinity entries are
-    masked by zeroing their scalars (digit-0 is dead in the kernel)."""
-    from ..utils.backend import platform, device_threshold
-
-    if platform() != "tpu" or len(points) < device_threshold():
-        return _msm(points, scalars, curve=curve)
-
+def _query_encoding(pk: "ProvingKey", name: str, points, curve):
+    """Device-resident limb rows + infinity mask for a proving-key query,
+    encoded once per key (the reference re-reads zkey sections per proof,
+    snarkjs fullProve, cli/src/utils.ts:69-92)."""
     import numpy as np
-    from ..ff.limbs import NLIMBS, batch_to_limbs
+    import jax.numpy as jnp
     from ..msm import pallas_msm as PM
 
     lanes = 1024 if curve.name == "g1" else 256
@@ -280,44 +287,84 @@ def _msm_cached(pk: "ProvingKey", name: str, points, scalars, curve=G1_DEV):
     ent = cache.get(name)
     if ent is None:
         spec = PM._SPECS[curve.name]
-        none_idx = frozenset(i for i, p in enumerate(points) if p is None)
-        safe = (points if not none_idx else
+        none_mask = np.fromiter((p is None for p in points), bool,
+                                count=len(points))
+        safe = (points if not none_mask.any() else
                 [p if p is not None else (G1_GEN if curve.name == "g1"
                                           else G2_GEN) for p in points])
         n = len(points)
-        t = max(1, math.ceil(n / lanes))
-        t = 1 << (t - 1).bit_length()     # pow2: shared compile-cache entries
-        # pad small queries up to the reference process circuit's chunk
-        # count so every circuit shares ONE kernel shape per curve: the
-        # extra zero-scalar chunks are sub-second dead work, while each
-        # distinct shape costs minutes of one-time per-process trace+load
-        # through the tunneled runtime
-        t = max(t, int(os.environ.get(
-            "INFIMUM_MSM_MIN_T", "256" if curve.name == "g1" else "1024")))
+        t = _query_t(n, lanes, curve.name)
         rows = np.zeros((t * lanes, spec.AF), np.uint32)
         rows[:n] = spec.encode_affine_rows(safe)
-        import jax.numpy as jnp
-
         # device-resident: the rows (tens of MB) cross the host<->device
         # boundary once per key, not once per proof
-        ent = (jnp.asarray(rows), none_idx)
+        ent = (jnp.asarray(rows), none_mask, lanes)
         cache[name] = ent
-    rows, none_idx = ent
+    return ent
+
+
+def _msm_cached_async(pk: "ProvingKey", name: str, points, scalars,
+                      curve=G1_DEV, limbs=None):
+    """Dispatch an MSM over a cached proving-key query WITHOUT syncing.
+
+    Returns a zero-arg closure producing the affine result; calling it
+    blocks on the device. The prover dispatches all five MSMs back-to-back
+    so the chip pipelines them instead of idling while the host decodes
+    each result (round-4 verdict: ~3.9 s of sequential dispatches).
+
+    `scalars` is a list of ints, or a device (n, 16) uint32 array of
+    standard-form reduced limb rows (the device-resident H path — no
+    infinity entries allowed then). `limbs` optionally supplies the
+    precomputed (n, 16) numpy limb encoding of `scalars` so the witness
+    vector is encoded once for the a/b1/b2 queries instead of thrice."""
+    import numpy as np
+    from ..utils.backend import platform, device_threshold
+    from ..ff.limbs import NLIMBS, batch_to_limbs
+    from ..msm import pallas_msm as PM
+
+    if platform() != "tpu" or len(points) < device_threshold():
+        out = _msm(points, scalars if isinstance(scalars, list)
+                   else list(scalars), curve=curve)
+        return lambda: out
+
+    rows, none_mask, lanes = _query_encoding(pk, name, points, curve)
     import time
 
     t0 = time.perf_counter()
-    sc = [0 if i in none_idx else s % P for i, s in enumerate(scalars)]
-    scl = np.zeros((rows.shape[0], NLIMBS), np.uint32)
-    scl[:len(sc)] = batch_to_limbs(sc)
-    t1 = time.perf_counter()
-    out = PM.msm_pallas_rows(rows, scl, lanes, curve.name)
-    if os.environ.get("INFIMUM_TRACE"):
-        import sys
+    if not isinstance(scalars, list):                 # device limb rows
+        import jax.numpy as jnp
 
-        print(f"  msm[{name}] n={len(scalars)} prep={t1-t0:.2f}s "
-              f"dev+combine={time.perf_counter()-t1:.2f}s",
-              file=sys.stderr, flush=True)
-    return out
+        assert not none_mask.any(), "device-scalar path with infinity points"
+        n = scalars.shape[0]
+        scl = jnp.pad(scalars, ((0, rows.shape[0] - n), (0, 0)))
+    else:
+        if limbs is None:
+            limbs = batch_to_limbs([s % P for s in scalars])
+        scl = np.zeros((rows.shape[0], NLIMBS), np.uint32)
+        scl[:len(scalars)] = limbs[:len(scalars)]
+        if none_mask.any():                # zero scalar => dead in kernel
+            scl[:len(none_mask)][none_mask] = 0
+    wins = PM.msm_pallas_rows_async(rows, scl, lanes, curve.name)
+    t1 = time.perf_counter()
+
+    def finish():
+        t2 = time.perf_counter()
+        out = PM.combine_window_points(np.asarray(wins), curve.name)
+        if os.environ.get("INFIMUM_TRACE"):
+            import sys
+
+            print(f"  msm[{name}] n={len(points)} rows={rows.shape[0]} "
+                  f"prep={t1 - t0:.2f}s wait+combine="
+                  f"{time.perf_counter() - t2:.2f}s",
+                  file=sys.stderr, flush=True)
+        return out
+
+    return finish
+
+
+def _msm_cached(pk: "ProvingKey", name: str, points, scalars, curve=G1_DEV):
+    """Synchronous MSM over a cached proving-key query."""
+    return _msm_cached_async(pk, name, points, scalars, curve=curve)()
 
 
 def _sparse_rows(cs: ConstraintSystem):
@@ -365,7 +412,11 @@ def _h_graph(logm: int):
             FR_CTX.mont_mul(coset_fwd(intt(a_e)), coset_fwd(intt(b_e))),
             coset_fwd(intt(c_e)))
         h_evals = FR_CTX.mont_mul(prod, zi[None, :])
-        return FR_CTX.mont_mul(intt(h_evals), cinv)
+        # standard-form reduced rows: directly usable as MSM scalar limbs,
+        # so H never leaves the device (round-4 verdict: the decode ->
+        # python ints -> re-encode roundtrip cost a full host<->device trip
+        # per proof)
+        return FR_CTX.from_mont(FR_CTX.mont_mul(intt(h_evals), cinv))
 
     # AOT export cache: re-tracing the unrolled NTT pipeline costs ~1 min
     # per process (utils/aot.py); the exported module deserializes in ~0 s
@@ -414,6 +465,41 @@ def compute_h_host(cs: ConstraintSystem, witness: list[int]) -> list[int]:
     return h[: m - 1]
 
 
+def _h_device_rows(cs: ConstraintSystem, witness: list[int]):
+    """Device path of the H pipeline: returns the full (m, 16) uint32 array
+    of STANDARD-form reduced limb rows of h's coefficients (row m-1 must be
+    zero — the caller checks, it is the degree sanity gate), still resident
+    on the device."""
+    from ..utils.profiling import Stopwatch
+    from .rowval import eval_rows_device
+
+    sw = Stopwatch()
+    m = _domain_size(cs)
+    logm = m.bit_length() - 1
+    with sw.stage("sparse_rows"):
+        sp = _sparse_rows(cs)
+    with sw.stage("eval_rows"):
+        a_e, b_e, c_e = eval_rows_device(sp, witness, m)
+    with sw.stage("ntts_dispatch"):
+        h = _h_graph(logm)(a_e, b_e, c_e)
+    if os.environ.get("INFIMUM_TRACE"):
+        import sys
+
+        print(sw.report(), file=sys.stderr, flush=True)
+    return h
+
+
+def _use_device_h(m: int) -> bool:
+    from ..utils.backend import platform
+
+    if platform() != "tpu":
+        return m < int(os.environ.get("INFIMUM_HOST_H_THRESHOLD",
+                                      str(1 << 13)))
+    # tiny domains stay on the host (dispatch overhead beats the work);
+    # both production circuits (tally m=2^14, process m=2^18) go device
+    return m > int(os.environ.get("INFIMUM_TPU_HOST_H_MAX", str(1 << 10)))
+
+
 def compute_h(cs: ConstraintSystem, witness: list[int]) -> list[int]:
     """Coefficients of h(x) = (a(x) b(x) - c(x)) / Z(x) via device coset NTT.
 
@@ -422,67 +508,69 @@ def compute_h(cs: ConstraintSystem, witness: list[int]) -> list[int]:
     pipeline is a single jit call (_h_graph). On non-TPU platforms, domains
     >= INFIMUM_HOST_H_THRESHOLD (default 2^13) take the host-bignum path
     instead — see compute_h_host."""
-    import os
     import numpy as np
-    from ..ff.fp import FR_CTX
-    from ..utils.backend import platform
-    from ..utils.profiling import Stopwatch
-    from .rowval import eval_rows_device
+    from ..ff.limbs import batch_from_limbs
 
-    sw = Stopwatch()
     m = _domain_size(cs)
-    logm = m.bit_length() - 1
-    if platform() != "tpu" and m >= int(
-            os.environ.get("INFIMUM_HOST_H_THRESHOLD", str(1 << 13))):
+    if not _use_device_h(m):
         return compute_h_host(cs, witness)
-    # ON TPU, small domains also go to the host: ~1s of Python modmuls at
-    # m = 2^14 (the tally circuit) vs minutes of one-time per-process
-    # trace+load of the device NTT graph through the tunneled runtime —
-    # the device pipeline only pays off on the big process domain
-    if platform() == "tpu" and m <= int(
-            os.environ.get("INFIMUM_TPU_HOST_H_MAX", str(1 << 14))):
-        return compute_h_host(cs, witness)
-
-    with sw.stage("sparse_rows"):
-        sp = _sparse_rows(cs)
-    with sw.stage("eval_rows"):
-        a_e, b_e, c_e = eval_rows_device(sp, witness, m)
-    with sw.stage("ntts"):
-        h = _h_graph(logm)(a_e, b_e, c_e)
-    with sw.stage("h_decode"):
-        h_ints = FR_CTX.decode(np.asarray(h))
-    if os.environ.get("INFIMUM_TRACE"):
-        import sys
-
-        print(sw.report(), file=sys.stderr, flush=True)
+    h = _h_device_rows(cs, witness)
+    h_ints = batch_from_limbs(np.asarray(h))
     assert h_ints[m - 1] == 0, "h has unexpected degree"
     return h_ints[: m - 1]
 
 
 def prove(pk: ProvingKey, cs: ConstraintSystem, witness: list[int],
           rng: random.Random | None = None) -> Proof:
-    import os
+    import numpy as np
+    from ..ff.limbs import batch_to_limbs
+    from ..utils.backend import platform
     from ..utils.profiling import Stopwatch
 
     sw = Stopwatch()
     rng = rng or random.SystemRandom()
     r = rng.randrange(P)
     s = rng.randrange(P)
-
-    with sw.stage("compute_h"):
-        h = compute_h(cs, witness)
-
-    with sw.stage("msm_a"):
-        a_acc = _msm_cached(pk, "a", pk.a_query, witness)
-    with sw.stage("msm_b2"):
-        b2_acc = _msm_cached(pk, "b2", pk.b_g2_query, witness, curve=G2_DEV)
-    with sw.stage("msm_b1"):
-        b1_acc = _msm_cached(pk, "b1", pk.b_g1_query, witness)
     npub = cs.num_public + 1
-    with sw.stage("msm_l"):
-        c_acc = _msm_cached(pk, "l", pk.l_query, witness[npub:])
-    with sw.stage("msm_h"):
-        h_acc = _msm_cached(pk, "h", pk.h_query, h)
+    m = _domain_size(cs)
+
+    # All six device stages (H pipeline + five MSMs) are dispatched without
+    # intermediate syncs: the chip executes them back-to-back while the
+    # host prepares the next scalar buffers, instead of idling between five
+    # sequential dispatch+decode round trips (round-4 verdict item 1).
+    device_h = platform() == "tpu" and _use_device_h(m)
+    with sw.stage("h_dispatch" if device_h else "compute_h"):
+        if device_h:
+            h_rows = _h_device_rows(cs, witness)
+            h_scalars = h_rows[: m - 1]
+        else:
+            h_scalars = compute_h(cs, witness)
+
+    with sw.stage("witness_limbs"):
+        w_limbs = batch_to_limbs([x % P for x in witness])
+    with sw.stage("msm_dispatch"):
+        a_fin = _msm_cached_async(pk, "a", pk.a_query, witness,
+                                  limbs=w_limbs)
+        b2_fin = _msm_cached_async(pk, "b2", pk.b_g2_query, witness,
+                                   curve=G2_DEV, limbs=w_limbs)
+        b1_fin = _msm_cached_async(pk, "b1", pk.b_g1_query, witness,
+                                   limbs=w_limbs)
+        c_fin = _msm_cached_async(pk, "l", pk.l_query, witness[npub:],
+                                  limbs=w_limbs[npub:])
+        h_fin = _msm_cached_async(pk, "h", pk.h_query, h_scalars)
+    with sw.stage("msm_wait"):
+        if device_h:
+            # degree sanity gate: one 16-limb row readback, queued after
+            # the MSM dispatches so it doesn't stall the pipeline
+            assert not np.asarray(h_rows[m - 1]).any(), \
+                "h has unexpected degree"
+        a_acc = a_fin()
+        b2_acc = b2_fin()
+        b1_acc = b1_fin()
+        c_acc = c_fin()
+        h_acc = h_fin()
+    global LAST_PROVE_TRACE
+    LAST_PROVE_TRACE = sw.as_dict()
     if os.environ.get("INFIMUM_TRACE"):
         import sys
 

@@ -52,8 +52,9 @@ def circuit_fingerprint(cs: ConstraintSystem) -> str:
     the same object.
     """
     cached = getattr(cs, "_fingerprint_cache", None)
-    if cached is not None:
-        return cached
+    if cached is not None and cached[0] == (len(cs.constraints),
+                                            cs.num_vars, cs.num_public):
+        return cached[1]
     h = hashlib.sha256()
     h.update(f"v{_FORMAT_VERSION};{cs.num_vars};{cs.num_public};"
              f"{len(cs.constraints)};".encode())
@@ -67,7 +68,8 @@ def circuit_fingerprint(cs: ConstraintSystem) -> str:
                 checksum = (checksum + w * (i + 1) * coeff) & mask
     h.update(checksum.to_bytes(16, "little"))
     out = h.hexdigest()[:24]
-    cs._fingerprint_cache = out
+    cs._fingerprint_cache = ((len(cs.constraints), cs.num_vars,
+                              cs.num_public), out)
     return out
 
 

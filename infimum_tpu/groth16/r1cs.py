@@ -152,6 +152,40 @@ class ConstraintSystem:
 
     # -- witnessing -----------------------------------------------------------
 
+    def _hint_program(self):
+        """Hints compiled to an arity-specialized program (cached).
+
+        The generic loop costs ~2 us/hint in CPython (list build + dict
+        walk per LC); almost every hint input is a single {var: 1} term, so
+        the compiled form replaces LC.eval with direct indexing and
+        dispatches on (arity, all-plain-vars) — SURVEY.md §3.2 hot loop #1
+        is this interpreter at ~10^5 hints per process batch.
+        Forms: (1, out, fn, i) / (2, out, fn, i, j) -> plain-var args;
+        (0, out, fn, lcs) -> general fallback."""
+        prog = self.__dict__.get("_hint_prog")
+        if prog is None or self.__dict__.get("_hint_prog_n") != len(self.hints):
+            prog = []
+            for out_idx, fn, in_lcs in self.hints:
+                idxs = []
+                for lc in in_lcs:
+                    t = lc.terms
+                    if len(t) == 1:
+                        (i, c), = t.items()
+                        if c == 1 and i != 0:
+                            idxs.append(i)
+                            continue
+                    idxs = None
+                    break
+                if idxs is not None and len(idxs) == 1:
+                    prog.append((1, out_idx, fn, idxs[0]))
+                elif idxs is not None and len(idxs) == 2:
+                    prog.append((2, out_idx, fn, idxs[0], idxs[1]))
+                else:
+                    prog.append((0, out_idx, fn, tuple(in_lcs)))
+            self._hint_prog = prog
+            self._hint_prog_n = len(self.hints)
+        return prog
+
     def compute_witness(self, inputs: dict[int, int]) -> list[int]:
         """inputs: {var_index: value} for publics and primary witness vars.
         Hints run in registration order (builders register in topo order)."""
@@ -159,8 +193,17 @@ class ConstraintSystem:
         w[0] = 1
         for i, v in inputs.items():
             w[i] = v % P
-        for out_idx, fn, in_lcs in self.hints:
-            w[out_idx] = fn(*[lc.eval(w) for lc in in_lcs]) % P
+        for item in self._hint_program():
+            tag = item[0]
+            if tag == 1:
+                _, out_idx, fn, i = item
+                w[out_idx] = fn(w[i]) % P
+            elif tag == 2:
+                _, out_idx, fn, i, j = item
+                w[out_idx] = fn(w[i], w[j]) % P
+            else:
+                _, out_idx, fn, in_lcs = item
+                w[out_idx] = fn(*[lc.eval(w) for lc in in_lcs]) % P
         return w
 
     def mark(self, label: str):

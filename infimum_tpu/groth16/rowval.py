@@ -89,18 +89,31 @@ def _encode_witness(w_plain):
         w_plain, jnp.broadcast_to(FR_CTX.r2_limbs, w_plain.shape))
 
 
+def _rows_fn(sp: SparseRows, m: int):
+    """Jitted A/B/C evaluation graph, built once per SparseRows instance —
+    a fresh closure per call would make jax.jit retrace the 4M-term
+    segment-sum graph on every proof."""
+    fn = sp.__dict__.get("_rows_fn")
+    if fn is None:
+        def run(w_mont, *mats):
+            out = []
+            for k in range(3):
+                coeffs, cols, rids = mats[3 * k: 3 * k + 3]
+                out.append(_eval_mat(coeffs, cols, rids, w_mont, m))
+            return tuple(out)
+
+        # AOT export cache (utils/aot.py): skips per-process re-tracing on
+        # TPU; the shape signature (matrix nnz + m) keys the artifact
+        from ..utils.aot import aot_jit
+
+        fn = aot_jit(f"rowval_{m}", run)
+        sp._rows_fn = fn
+    return fn
+
+
 def eval_rows_device(sp: SparseRows, witness: list[int], m: int):
     """Returns (a, b, c) as (m, 16) reduced-Montgomery device arrays."""
     w_plain = jnp.asarray(batch_to_limbs([x % P for x in witness]))
     w_mont = _encode_witness(w_plain)
-
-    @jax.jit
-    def run(w_mont, *mats):
-        out = []
-        for k in range(3):
-            coeffs, cols, rids = mats[3 * k: 3 * k + 3]
-            out.append(_eval_mat(coeffs, cols, rids, w_mont, m))
-        return tuple(out)
-
     flat = sp.mats["A"] + sp.mats["B"] + sp.mats["C"]
-    return run(w_mont, *flat)
+    return _rows_fn(sp, m)(w_mont, *flat)

@@ -12,11 +12,32 @@ device Poseidon (poseidon.py).
 
 from __future__ import annotations
 
+import os
+
 from ..ff.bn254 import FR_MOD
 from .grain import poseidon_params, FULL_ROUNDS, PARTIAL_ROUNDS, MAX_WIDTH
 
+# The C++ twin (native/src/poseidon.cc, golden-tested against this module
+# and the circomlibjs KATs) is ~7-11x faster per hash; every host hot loop
+# (pallet inserts, event replay, message encrypt, witness inputs) funnels
+# through here, so dispatch to it when the library is available.
+# INFIMUM_NATIVE_POSEIDON=0 forces the pure-Python path.
+_NATIVE = None
 
-def poseidon_perm(state: list[int]) -> list[int]:
+
+def _native():
+    global _NATIVE
+    if _NATIVE is None:
+        if os.environ.get("INFIMUM_NATIVE_POSEIDON", "1") != "1":
+            _NATIVE = False
+        else:
+            from .. import native
+
+            _NATIVE = native if native.available() else False
+    return _NATIVE
+
+
+def poseidon_perm_py(state: list[int]) -> list[int]:
     """Full Poseidon permutation on a width-t state (plain ints mod r).
 
     Host tree building hashes millions of leaves at production poll sizes
@@ -51,11 +72,29 @@ def poseidon_perm(state: list[int]) -> list[int]:
     return s
 
 
+def poseidon_perm(state: list[int]) -> list[int]:
+    """Full Poseidon permutation; native C++ when available."""
+    nat = _native()
+    if nat:
+        return nat.poseidon_perm([x % FR_MOD for x in state])
+    return poseidon_perm_py(state)
+
+
+def poseidon_py(inputs: list[int]) -> int:
+    """Pure-Python hash (ground truth for the native/device twins)."""
+    if not 1 <= len(inputs) <= MAX_WIDTH - 1:
+        raise ValueError(f"poseidon arity {len(inputs)} unsupported")
+    return poseidon_perm_py([0] + list(inputs))[0]
+
+
 def poseidon(inputs: list[int]) -> int:
     """circom Poseidon hash: domain tag 0, output element 0."""
     if not 1 <= len(inputs) <= MAX_WIDTH - 1:
         raise ValueError(f"poseidon arity {len(inputs)} unsupported")
-    return poseidon_perm([0] + list(inputs))[0]
+    nat = _native()
+    if nat:
+        return nat.poseidon([x % FR_MOD for x in inputs])
+    return poseidon_perm_py([0] + list(inputs))[0]
 
 
 def poseidon2(a: int, b: int) -> int:

@@ -8,6 +8,7 @@ circuits/utils/verify-signature.circom).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 from ..curve import babyjubjub as bjj
@@ -23,8 +24,10 @@ def _prune(buf: bytes) -> bytes:
     return bytes(b)
 
 
+@functools.lru_cache(maxsize=4096)
 def format_priv_key(sk: int) -> int:
-    """BabyJubJub scalar for ECDH/pubkey: (pruned blake512(sk))/8."""
+    """BabyJubJub scalar for ECDH/pubkey: (pruned blake512(sk))/8.
+    Cached: every sign/ecdh/pub of a keypair re-derives the same scalar."""
     h1 = blake512(int(sk).to_bytes(32, "big"))
     s = int.from_bytes(_prune(h1), "little")
     return s >> 3
@@ -34,7 +37,7 @@ def format_priv_key(sk: int) -> int:
 class Keypair:
     sk: int
 
-    @property
+    @functools.cached_property
     def pub(self) -> tuple[int, int]:
         return bjj.mul(bjj.BASE8, format_priv_key(self.sk))
 
@@ -45,9 +48,8 @@ class Keypair:
     def sign(self, msg: int) -> tuple[tuple[int, int], int]:
         """EdDSA-Poseidon over a field-element message; returns (R8, S)."""
         h1 = blake512(int(self.sk).to_bytes(32, "big"))
-        s_buf = _prune(h1)
-        s = int.from_bytes(s_buf, "little")
-        a_pub = bjj.mul(bjj.BASE8, s >> 3)
+        s = int.from_bytes(_prune(h1), "little")
+        a_pub = self.pub            # == s>>3 times Base8, cached
         msg_buf = int(msg).to_bytes(32, "little")
         r = int.from_bytes(blake512(h1[32:64] + msg_buf), "little") % bjj.SUB_ORDER
         r8 = bjj.mul(bjj.BASE8, r)

@@ -454,6 +454,17 @@ def msm_pallas(points, scalars, lanes: int = 1024, nwin: int = N_WINDOWS,
     return combine_window_points(np.asarray(wins), curve)
 
 
+def msm_pallas_rows_async(rows, sc, lanes: int, curve: str = "g1",
+                          nwin: int = N_WINDOWS, interpret: bool = False):
+    """Dispatch the MSM pipeline and return the (nwin, PR) window-sum device
+    array WITHOUT syncing — callers pipeline several MSMs back-to-back and
+    decode with combine_window_points when the results are needed."""
+    assert lanes % 8 == 0 and rows.shape[0] == sc.shape[0]
+    T = rows.shape[0] // lanes
+    fn = _msm_fn(T, lanes // 8, nwin, interpret, curve)
+    return fn(jnp.asarray(rows), jnp.asarray(sc))
+
+
 def msm_pallas_rows(rows, sc, lanes: int, curve: str = "g1",
                     nwin: int = N_WINDOWS, interpret: bool = False):
     """MSM from pre-encoded inputs: rows (Npad, AF) affine limb rows and
@@ -461,8 +472,5 @@ def msm_pallas_rows(rows, sc, lanes: int, curve: str = "g1",
     prover, whose five query point sets are fixed per key — encode once,
     reuse every proof (scalar-0 entries are dead in the kernel, so padding
     and masked-out points cost nothing but bandwidth)."""
-    assert lanes % 8 == 0 and rows.shape[0] == sc.shape[0]
-    T = rows.shape[0] // lanes
-    fn = _msm_fn(T, lanes // 8, nwin, interpret, curve)
-    wins = fn(jnp.asarray(rows), jnp.asarray(sc))
+    wins = msm_pallas_rows_async(rows, sc, lanes, curve, nwin, interpret)
     return combine_window_points(np.asarray(wins), curve)

@@ -46,6 +46,9 @@ def _load():
     lib.inf_imt_depth.argtypes = [ctypes.c_void_p]
     lib.inf_imt_count.argtypes = [ctypes.c_void_p]
     lib.inf_imt_count.restype = ctypes.c_uint64
+    lib.inf_blake512.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
+                                 ctypes.c_char_p]
+    lib.inf_blake512.restype = None
     _lib = lib
     return _lib
 
@@ -77,6 +80,33 @@ def poseidon2_batch(pairs: list[tuple[int, int]]) -> list[int]:
     lib.inf_poseidon2_batch(buf, len(pairs), out)
     return [int.from_bytes(out.raw[32 * i: 32 * i + 32], "big")
             for i in range(len(pairs))]
+
+
+def poseidon_perm(state: list[int]) -> list[int]:
+    """Native full Poseidon permutation (hash/poseidon_host.poseidon_perm
+    contract; the duplex cipher needs all t output elements)."""
+    lib = _load()
+    t = len(state)
+    buf = b"".join(_fr_bytes(x) for x in state)
+    out = ctypes.create_string_buffer(32 * t)
+    rc = lib.inf_poseidon_perm(buf, t, out)
+    if rc != 0:
+        raise ValueError(f"native poseidon_perm failed rc={rc}")
+    return [int.from_bytes(out.raw[32 * i: 32 * i + 32], "big")
+            for i in range(t)]
+
+
+def poseidon_batch(rows: list[list[int]], n: int) -> list[int]:
+    """Batched width-n Poseidon hash over m rows (one boundary crossing)."""
+    lib = _load()
+    m = len(rows)
+    buf = b"".join(_fr_bytes(x) for row in rows for x in row)
+    out = ctypes.create_string_buffer(32 * m)
+    rc = lib.inf_poseidon_batch(buf, n, m, out)
+    if rc != 0:
+        raise ValueError(f"native poseidon_batch failed rc={rc}")
+    return [int.from_bytes(out.raw[32 * i: 32 * i + 32], "big")
+            for i in range(m)]
 
 
 class NativeIMT:
@@ -122,6 +152,38 @@ class NativeIMT:
     @property
     def count(self) -> int:
         return self._lib.inf_imt_count(self._h)
+
+
+def bjj_mul(p: tuple[int, int], n: int) -> tuple[int, int]:
+    """Native BabyJubJub scalar multiplication (curve/babyjubjub.py twin)."""
+    lib = _load()
+    out = ctypes.create_string_buffer(64)
+    rc = lib.inf_bjj_mul(_fr_bytes(p[0]) + _fr_bytes(p[1]),
+                         int(n).to_bytes(32, "big"), out)
+    if rc != 0:
+        raise ValueError(f"native bjj_mul failed rc={rc}")
+    return (int.from_bytes(out.raw[:32], "big"),
+            int.from_bytes(out.raw[32:], "big"))
+
+
+def bjj_add(p: tuple[int, int], q: tuple[int, int]) -> tuple[int, int]:
+    """Native BabyJubJub point addition."""
+    lib = _load()
+    out = ctypes.create_string_buffer(64)
+    rc = lib.inf_bjj_add(_fr_bytes(p[0]) + _fr_bytes(p[1]),
+                         _fr_bytes(q[0]) + _fr_bytes(q[1]), out)
+    if rc != 0:
+        raise ValueError(f"native bjj_add failed rc={rc}")
+    return (int.from_bytes(out.raw[:32], "big"),
+            int.from_bytes(out.raw[32:], "big"))
+
+
+def blake512(data: bytes) -> bytes:
+    """Native BLAKE-512 (utils/blake512.py twin)."""
+    lib = _load()
+    out = ctypes.create_string_buffer(64)
+    lib.inf_blake512(bytes(data), len(data), out)
+    return out.raw
 
 
 def merkle_zero(arity: int, depth: int) -> int:

@@ -61,16 +61,54 @@ def _tree_reduce_axis0(curve: CurveDev, pts):
     return (x[0], y[0], z[0])
 
 
+def reduction_comm_bytes(ndev: int, curve: CurveDev = G1_DEV, c: int = 8,
+                         reduce: str = "auto") -> dict:
+    """Per-device communication volume of the window reduction, per MSM.
+
+    The O(N) bucket accumulation is embarrassingly parallel; only the
+    per-device window sums cross the interconnect. all_gather delivers
+    (D-1) partial results to every device; recursive halving (ppermute)
+    moves one (W, point) payload per round over log2(D) rounds — the model
+    the weak-scaling artifact reports (BASELINE.md >=70% multi-host
+    target's communication side)."""
+    import math
+
+    w = -(-256 // c)                 # windows for 254-bit scalars
+    felt = 4 * int(np.prod(curve.fshape()))
+    point = 3 * felt                 # projective (x, y, z)
+    payload = w * point
+    mode = reduce
+    if mode == "auto":
+        mode = "permute" if ndev & (ndev - 1) == 0 else "gather"
+    if mode == "gather":
+        per_dev = (ndev - 1) * payload
+        rounds = 1
+    else:
+        rounds = max(0, int(math.log2(ndev)))
+        per_dev = rounds * payload
+    return {"mode": mode, "window_payload_bytes": payload,
+            "per_device_bytes": per_dev, "rounds": rounds}
+
+
 def make_sharded_window_sums(mesh: Mesh, axis: str = "dp",
                              curve: CurveDev = G1_DEV, c: int = 8,
-                             lanes: int = 8):
+                             lanes: int = 8, reduce: str = "auto"):
     """Returns a jittable (pts, sc) -> window sums fn sharded over `axis`.
 
     pts (N, 2, *fshape) and sc (N, NLIMBS) must have N divisible by
-    mesh.shape[axis] * lanes. Output is replicated (W, *fshape) x3.
-    """
+    mesh.shape[axis] * lanes. Output shard 0 carries the full reduction.
 
-    def local(pts_l, sc_l):
+    reduce: "gather" all_gathers every device's window sums and reduces
+    locally ((D-1) x W points received per device); "permute" does
+    recursive halving with ppermute (log2(D) rounds of W points each —
+    strictly less traffic for D > 2, and the partial sums ride the ICI
+    neighbor links). "auto" picks permute for power-of-two meshes.
+    """
+    ndev = mesh.shape[axis]
+    if reduce == "auto":
+        reduce = "permute" if ndev & (ndev - 1) == 0 else "gather"
+
+    def local_gather(pts_l, sc_l):
         wins = window_sums(curve, c, lanes, pts_l, sc_l)
         gathered = jax.lax.all_gather(wins, axis)       # (D, W, *fshape) x3
         red = _tree_reduce_axis0(curve, gathered)       # (W, *fshape) x3
@@ -79,8 +117,24 @@ def make_sharded_window_sums(mesh: Mesh, axis: str = "dp",
         # a per-device leading axis and slice shard 0 outside the shard_map
         return tuple(comp[None] for comp in red)
 
+    def local_permute(pts_l, sc_l):
+        acc = window_sums(curve, c, lanes, pts_l, sc_l)  # (W, *fshape) x3
+        me = jax.lax.axis_index(axis)
+        stride = ndev >> 1
+        while stride >= 1:            # unrolled: perm pairs differ per round
+            perm = [(i + stride, i) for i in range(stride)]
+            part = tuple(jax.lax.ppermute(comp, axis, perm) for comp in acc)
+            added = curve.add(acc, part)
+            # devices >= stride received zeros (not the EC identity): a
+            # scalar where() keeps their previous acc, which is dead anyway
+            keep = me < stride
+            acc = tuple(jnp.where(keep, a, b) for a, b in zip(added, acc))
+            stride >>= 1
+        return tuple(comp[None] for comp in acc)
+
     sm = shard_map(
-        local, mesh=mesh,
+        local_permute if reduce == "permute" and ndev > 1 else local_gather,
+        mesh=mesh,
         in_specs=(P(axis), P(axis)),
         out_specs=P(axis),
     )

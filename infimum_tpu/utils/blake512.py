@@ -73,6 +73,27 @@ def _compress(h, block: bytes, t: int):
 
 
 def blake512(data: bytes) -> bytes:
+    """BLAKE-512 digest; native C++ twin when available (two digests per
+    EdDSA signature make this hot during publication)."""
+    global _NATIVE
+    if _NATIVE is None:
+        import os
+
+        if os.environ.get("INFIMUM_NATIVE_BLAKE", "1") != "1":
+            _NATIVE = False
+        else:
+            from .. import native
+
+            _NATIVE = native if native.available() else False
+    if _NATIVE:
+        return _NATIVE.blake512(data)
+    return blake512_py(data)
+
+
+_NATIVE = None
+
+
+def blake512_py(data: bytes) -> bytes:
     h = _IV[:]
     bitlen = len(data) * 8
     msglen = bitlen.to_bytes(16, "big")

@@ -5,6 +5,8 @@
 #include <cstring>
 #include <vector>
 
+#include "bjj.h"
+#include "blake512.h"
 #include "imt.h"
 #include "pairing.h"
 #include "poseidon.h"
@@ -36,6 +38,69 @@ int inf_poseidon2_batch(const uint8_t* inputs, int n, uint8_t* out) {
     to_be32(poseidon_hash(in, 2), out + 32 * i);
   }
   return 0;
+}
+
+// full permutation: state (t x 32B BE) permuted in place into out (t x 32B).
+// The Poseidon duplex cipher consumes all t output elements
+// (reference circuits/utils/poseidon-cipher.circom:164-218).
+int inf_poseidon_perm(const uint8_t* state, int t, uint8_t* out) {
+  if (t < 2 || t > POSEIDON_MAX_WIDTH) return 1;
+  std::vector<U256> s(t);
+  for (int i = 0; i < t; ++i) {
+    s[i] = from_be32(state + 32 * i);
+    if (cmp(s[i], FR().mod) >= 0) return 2;
+  }
+  poseidon_perm(s.data(), t);
+  for (int i = 0; i < t; ++i) to_be32(s[i], out + 32 * i);
+  return 0;
+}
+
+// batched width-n hash: m rows of n contiguous 32-byte BE elements.
+// Amortizes the ctypes boundary for host tree building / replay loops.
+int inf_poseidon_batch(const uint8_t* inputs, int n, int m, uint8_t* out) {
+  if (n < 1 || n > POSEIDON_MAX_WIDTH - 1) return 1;
+  std::vector<U256> in(n);
+  for (int r = 0; r < m; ++r) {
+    for (int i = 0; i < n; ++i) {
+      in[i] = from_be32(inputs + 32 * (r * n + i));
+      if (cmp(in[i], FR().mod) >= 0) return 2;
+    }
+    to_be32(poseidon_hash(in.data(), n), out + 32 * r);
+  }
+  return 0;
+}
+
+// ---- BabyJubJub + BLAKE-512 (EdDSA/ECDH host hot path) --------------------
+
+// p = (x||y) 64B BE affine, scalar 32B BE (any value < 2^256); out 64B.
+int inf_bjj_mul(const uint8_t* p, const uint8_t* scalar, uint8_t* out) {
+  U256 x = from_be32(p), y = from_be32(p + 32);
+  if (cmp(x, FR().mod) >= 0 || cmp(y, FR().mod) >= 0) return 1;
+  U256 n = from_be32(scalar);
+  BjjExt r = bjj_mul(bjj_from_affine(x, y), n);
+  U256 ox, oy;
+  bjj_to_affine(r, &ox, &oy);
+  to_be32(ox, out);
+  to_be32(oy, out + 32);
+  return 0;
+}
+
+int inf_bjj_add(const uint8_t* p, const uint8_t* q, uint8_t* out) {
+  U256 px = from_be32(p), py = from_be32(p + 32);
+  U256 qx = from_be32(q), qy = from_be32(q + 32);
+  if (cmp(px, FR().mod) >= 0 || cmp(py, FR().mod) >= 0 ||
+      cmp(qx, FR().mod) >= 0 || cmp(qy, FR().mod) >= 0)
+    return 1;
+  BjjExt r = bjj_ext_add(bjj_from_affine(px, py), bjj_from_affine(qx, qy));
+  U256 ox, oy;
+  bjj_to_affine(r, &ox, &oy);
+  to_be32(ox, out);
+  to_be32(oy, out + 32);
+  return 0;
+}
+
+void inf_blake512(const uint8_t* data, uint64_t len, uint8_t* out) {
+  blake512(data, (size_t)len, out);
 }
 
 // ---- amortized IMT --------------------------------------------------------
