@@ -181,7 +181,12 @@ class ConstraintSystem:
                 elif idxs is not None and len(idxs) == 2:
                     prog.append((2, out_idx, fn, idxs[0], idxs[1]))
                 else:
-                    prog.append((0, out_idx, fn, tuple(in_lcs)))
+                    # general inputs flattened to ((i, c), ...) pair tuples
+                    # (var 0 == 1 absorbs the constant term): an inline
+                    # accumulation loop beats LC.eval's method call + dict
+                    # walk ~2.5x over the ~2x10^5 evals per process batch
+                    pairs = tuple(tuple(lc.terms.items()) for lc in in_lcs)
+                    prog.append((0, out_idx, fn, pairs))
             self._hint_prog = prog
             self._hint_prog_n = len(self.hints)
         return prog
@@ -202,8 +207,14 @@ class ConstraintSystem:
                 _, out_idx, fn, i, j = item
                 w[out_idx] = fn(w[i], w[j]) % P
             else:
-                _, out_idx, fn, in_lcs = item
-                w[out_idx] = fn(*[lc.eval(w) for lc in in_lcs]) % P
+                _, out_idx, fn, pairs = item
+                vals = []
+                for terms in pairs:
+                    acc = 0
+                    for i, c in terms:
+                        acc += c * w[i]
+                    vals.append(acc % P)
+                w[out_idx] = fn(*vals) % P
         return w
 
     def mark(self, label: str):
