@@ -20,7 +20,8 @@ P = FR_MOD
 def _div(cs: ConstraintSystem, num: LC, den: LC) -> LC:
     """q with q*den == num (den != 0 — guaranteed by curve completeness)."""
     q = cs.alloc()
-    cs.hint(q, lambda n, d: n * pow(d, -1, P) % P if d else 0, (num, den))
+    cs.hint(q, lambda n, d: n * pow(d, -1, P) % P if d else 0, (num, den),
+            op=("div0", 0))
     cs.enforce(LC.var(q), den, num)
     return LC.var(q)
 

@@ -72,7 +72,7 @@ def quin_generate_path_indices(cs: ConstraintSystem, index: LC,
 
     for k in range(levels):
         v = cs.alloc()
-        cs.hint(v, digit_hint(k), (index,))
+        cs.hint(v, digit_hint(k), (index,), op=("digit5", k))
         d = LC.var(v)
         # d in [0, 5): product (d)(d-1)(d-2)(d-3)(d-4) == 0
         prod = d

@@ -104,9 +104,14 @@ class ConstraintSystem:
 
     # -- gate helpers (allocate + constrain + hint) ---------------------------
 
-    def hint(self, out_idx, fn, in_lcs):
-        """During witnessing, assignment[out_idx] = fn(*[lc.eval(w)])."""
-        self.hints.append((out_idx, fn, list(in_lcs)))
+    def hint(self, out_idx, fn, in_lcs, op=None):
+        """During witnessing, assignment[out_idx] = fn(*[lc.eval(w)]).
+
+        `op` optionally names the hint semantics as ("opname", int_param)
+        from the closed set {mul, inv0, isz, bit, div0, digit5} so the
+        native evaluator (native/src/hintprog.cc) can run the whole hint
+        program in C++; untagged hints force the Python interpreter."""
+        self.hints.append((out_idx, fn, list(in_lcs), op))
 
     def mul(self, a: LC, b: LC) -> LC:
         """Product gate returning a new LC."""
@@ -116,7 +121,7 @@ class ConstraintSystem:
             return a.scale(b.const_value)
         v = self.alloc()
         self.enforce(a, b, LC.var(v))
-        self.hint(v, lambda x, y: x * y % P, (a, b))
+        self.hint(v, lambda x, y: x * y % P, (a, b), op=("mul", 0))
         return LC.var(v)
 
     def square(self, a: LC) -> LC:
@@ -129,8 +134,9 @@ class ConstraintSystem:
         """Returns LC of a bit that is 1 iff a == 0 (circomlib IsZero)."""
         inv = self.alloc()
         out = self.alloc()
-        self.hint(inv, lambda x: pow(x, -1, P) if x else 0, (a,))
-        self.hint(out, lambda x: 0 if x else 1, (a,))
+        self.hint(inv, lambda x: pow(x, -1, P) if x else 0, (a,),
+                  op=("inv0", 0))
+        self.hint(out, lambda x: 0 if x else 1, (a,), op=("isz", 0))
         out_lc = LC.var(out)
         # out = -a*inv + 1 ;  a*out = 0
         self.enforce(a, LC.var(inv), LC.const(1) - out_lc)
@@ -142,7 +148,8 @@ class ConstraintSystem:
         acc = LC()
         for k in range(nbits):
             v = self.alloc()
-            self.hint(v, (lambda kk: lambda x: (x >> kk) & 1)(k), (a,))
+            self.hint(v, (lambda kk: lambda x: (x >> kk) & 1)(k), (a,),
+                      op=("bit", k))
             b = LC.var(v)
             self.assert_bool(b)
             bits.append(b)
@@ -165,7 +172,7 @@ class ConstraintSystem:
         prog = self.__dict__.get("_hint_prog")
         if prog is None or self.__dict__.get("_hint_prog_n") != len(self.hints):
             prog = []
-            for out_idx, fn, in_lcs in self.hints:
+            for out_idx, fn, in_lcs, _op in self.hints:
                 idxs = []
                 for lc in in_lcs:
                     t = lc.terms
@@ -191,9 +198,53 @@ class ConstraintSystem:
             self._hint_prog_n = len(self.hints)
         return prog
 
+    _NATIVE_OPCODES = {"mul": 0, "inv0": 1, "isz": 2, "bit": 3,
+                       "div0": 4, "digit5": 5}
+
+    def _native_prog(self):
+        """Compiled native hint program, or None (native unavailable, an
+        untagged hint, or INFIMUM_NATIVE_WITNESS=0). Cached per hint count."""
+        import os
+
+        cached = self.__dict__.get("_native_prog_cache")
+        if cached is not None and cached[0] == len(self.hints):
+            return cached[1]
+        prog = None
+        if (os.environ.get("INFIMUM_NATIVE_WITNESS", "1") == "1"
+                and all(h[3] is not None and h[3][0] in self._NATIVE_OPCODES
+                        for h in self.hints)):
+            from .. import native
+
+            if native.available():
+                ops, tidx, coeffs = [], [], []
+
+                def flat(lc):
+                    off = len(tidx)
+                    for i, c in lc.terms.items():
+                        tidx.append(i)
+                        coeffs.append(int(c % P).to_bytes(32, "big"))
+                    return off, len(lc.terms)
+
+                for out_idx, _fn, in_lcs, (name, param) in self.hints:
+                    a_off, a_len = flat(in_lcs[0])
+                    b_off, b_len = flat(in_lcs[1]) if len(in_lcs) > 1 \
+                        else (0, 0)
+                    ops += [self._NATIVE_OPCODES[name], param, out_idx,
+                            a_off, a_len, b_off, b_len]
+                prog = native.NativeHintProg(
+                    ops, tidx, b"".join(coeffs), self.num_vars)
+        self._native_prog_cache = (len(self.hints), prog)
+        return prog
+
     def compute_witness(self, inputs: dict[int, int]) -> list[int]:
         """inputs: {var_index: value} for publics and primary witness vars.
-        Hints run in registration order (builders register in topo order)."""
+        Hints run in registration order (builders register in topo order).
+        Runs the native evaluator (native/src/hintprog.cc) when every hint
+        carries an op tag; the Python interpreter below is the fallback
+        and ground truth (tested equal)."""
+        native_prog = self._native_prog()
+        if native_prog is not None:
+            return native_prog.run({i: v % P for i, v in inputs.items()})
         w = [0] * self.num_vars
         w[0] = 1
         for i, v in inputs.items():

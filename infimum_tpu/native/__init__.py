@@ -49,6 +49,14 @@ def _load():
     lib.inf_blake512.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
                                  ctypes.c_char_p]
     lib.inf_blake512.restype = None
+    lib.inf_hintprog_new.restype = ctypes.c_void_p
+    lib.inf_hintprog_new.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_char_p,
+        ctypes.c_int, ctypes.c_int]
+    lib.inf_hintprog_free.argtypes = [ctypes.c_void_p]
+    lib.inf_hintprog_run.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+        ctypes.c_char_p]
     _lib = lib
     return _lib
 
@@ -184,6 +192,47 @@ def blake512(data: bytes) -> bytes:
     out = ctypes.create_string_buffer(64)
     lib.inf_blake512(bytes(data), len(data), out)
     return out.raw
+
+
+class NativeHintProg:
+    """Compiled witness hint program (native/src/hintprog.cc). Built once
+    per ConstraintSystem from numpy op/term arrays; `run` evaluates the
+    full witness from an input assignment."""
+
+    def __init__(self, ops, term_idx, term_coeff_be: bytes, num_vars: int):
+        import numpy as np
+
+        self._lib = _load()
+        self._ops = np.ascontiguousarray(ops, dtype=np.int64)
+        self._idx = np.ascontiguousarray(term_idx, dtype=np.uint32)
+        self.num_vars = num_vars
+        self._h = self._lib.inf_hintprog_new(
+            self._ops.ctypes.data_as(ctypes.c_void_p),
+            len(self._ops) // 7,
+            self._idx.ctypes.data_as(ctypes.c_void_p),
+            term_coeff_be, len(self._idx), num_vars)
+        if not self._h:
+            raise ValueError("native hint program rejected (bad coeff)")
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.inf_hintprog_free(self._h)
+            self._h = None
+
+    def run(self, inputs: dict[int, int]) -> list[int]:
+        import numpy as np
+
+        idx = np.fromiter(inputs.keys(), np.uint32, count=len(inputs))
+        vals = b"".join(_fr_bytes(v) for v in inputs.values())
+        out = ctypes.create_string_buffer(32 * self.num_vars)
+        rc = self._lib.inf_hintprog_run(
+            self._h, idx.ctypes.data_as(ctypes.c_void_p), vals, len(inputs),
+            out)
+        if rc != 0:
+            raise ValueError(f"native hint program failed rc={rc}")
+        raw = out.raw
+        return [int.from_bytes(raw[32 * i: 32 * i + 32], "big")
+                for i in range(self.num_vars)]
 
 
 def merkle_zero(arity: int, depth: int) -> int:

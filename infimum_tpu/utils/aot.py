@@ -33,6 +33,13 @@ import sys
 _KERNEL_PKGS = ("ff", "msm", "ntt", "hash", "curve", "groth16", "parallel",
                 "utils")
 
+# host-only modules inside those packages that contain NO traced code and
+# feed no constants into any traced graph: excluded so witness-layer edits
+# don't force a full re-export cycle (hash/grain.py stays IN — its Poseidon
+# constants are baked into the device kernels)
+_HOST_ONLY = {"r1cs.py", "pkcache.py", "blake512.py", "profiling.py",
+              "babyjubjub.py", "cipher.py", "poseidon_host.py"}
+
 
 @functools.lru_cache(maxsize=1)
 def _source_digest() -> str:
@@ -40,6 +47,8 @@ def _source_digest() -> str:
     h = hashlib.sha256()
     for pkg in _KERNEL_PKGS:
         for p in sorted((root / pkg).rglob("*.py")):
+            if p.name in _HOST_ONLY:
+                continue
             h.update(p.name.encode())
             h.update(p.read_bytes())
     return h.hexdigest()[:16]

@@ -7,6 +7,7 @@
 
 #include "bjj.h"
 #include "blake512.h"
+#include "hintprog.h"
 #include "imt.h"
 #include "pairing.h"
 #include "poseidon.h"
@@ -134,6 +135,24 @@ int inf_merkle_zero(int arity, int depth, uint8_t* out_be32) {
   if (depth < 0 || depth >= 33) return 1;
   to_be32(merkle_zeros(arity)[depth], out_be32);
   return 0;
+}
+
+// ---- witness hint program -------------------------------------------------
+
+void* inf_hintprog_new(const int64_t* ops, int n_ops,
+                       const uint32_t* term_idx,
+                       const uint8_t* term_coeff_be, int n_terms,
+                       int num_vars) {
+  return hintprog_new(ops, n_ops, term_idx, term_coeff_be, n_terms, num_vars);
+}
+
+void inf_hintprog_free(void* h) { hintprog_free(static_cast<HintProg*>(h)); }
+
+// inputs: n_in (index, 32B BE value) pairs; out: num_vars x 32B BE witness.
+int inf_hintprog_run(void* h, const uint32_t* in_idx,
+                     const uint8_t* in_vals_be, int n_in, uint8_t* out_be) {
+  return hintprog_run(static_cast<HintProg*>(h), in_idx, in_vals_be, n_in,
+                      out_be);
 }
 
 // ---- serde ----------------------------------------------------------------

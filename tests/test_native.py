@@ -129,3 +129,42 @@ def test_native_groth16_accepts_reference_proof():
     bad = list(inputs)
     bad[0] += 1
     assert not native.groth16_verify(vkb, pb, bad)
+
+
+def test_native_hint_program_matches_python():
+    """The native witness evaluator (native/src/hintprog.cc) must replay
+    the hint program bit-identically to the Python interpreter across the
+    full op set (mul/inv0/isz/bit/div0/digit5), including zero inverses."""
+    import os
+    import random
+
+    from infimum_tpu.circuits.babyjubjub_gadget import _div
+    from infimum_tpu.circuits.merkle_gadgets import quin_generate_path_indices
+    from infimum_tpu.ff.bn254 import FR_MOD
+    from infimum_tpu.groth16.r1cs import LC, ConstraintSystem
+
+    cs = ConstraintSystem()
+    x = cs.alloc_public()
+    y = cs.alloc_public()
+    cs.is_zero(LC.var(x) - 7)
+    cs.is_zero(LC.var(x))
+    cs.num2bits(LC.var(x), 32)
+    cs.mul(LC.var(x) + 3, LC.var(y).scale(5) - 2)
+    _div(cs, LC.var(x) + 1, LC.var(y) + 9)
+    _div(cs, LC.var(x), LC.var(y))          # zero denominator when y=0
+    quin_generate_path_indices(cs, LC.var(x), 5)
+    assert cs._native_prog() is not None, "program should compile natively"
+
+    rng = random.Random(11)
+    cases = [(0, 0), (7, 1), (624, FR_MOD - 9),
+             (rng.randrange(FR_MOD), rng.randrange(FR_MOD))]
+    for xv, yv in cases:
+        wn = cs.compute_witness({x: xv, y: yv})
+        os.environ["INFIMUM_NATIVE_WITNESS"] = "0"
+        cs.__dict__.pop("_native_prog_cache", None)
+        try:
+            wp = cs.compute_witness({x: xv, y: yv})
+        finally:
+            os.environ["INFIMUM_NATIVE_WITNESS"] = "1"
+            cs.__dict__.pop("_native_prog_cache", None)
+        assert wn == wp, f"witness mismatch at ({xv}, {yv})"
