@@ -112,6 +112,7 @@ class ProverKeys:
                             (self.tally_circuit, self.tally_pk)):
             if pk is None:
                 continue
+            circuit.cs._native_prog()   # one-time hint-program compile
             prove(pk, circuit.cs, [0] * circuit.cs.num_vars,
                   rng=random.Random(0))
         out = {"prewarm_s": round(time.perf_counter() - t0, 3),

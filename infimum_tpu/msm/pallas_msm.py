@@ -48,9 +48,15 @@ from ..ff.bn254 import FQ_MOD, FR_MOD
 from ..ff.limbs import batch_to_limbs, from_limbs
 from .pallas_field import Fq, Fq2, FieldConsts, NLIMBS, rcb_add, rcb_add_mixed
 
-C_BITS = 8              # window width; 32 windows cover 254-bit scalars
-N_BUCKETS = 1 << C_BITS
-N_WINDOWS = 32
+# Signed-digit windows: width-13 digits recoded to [-4096, 4096], so 20
+# windows cover 254-bit scalars instead of 32 unsigned 8-bit ones — the
+# per-window sorted gather is the measured pipeline bottleneck (PERF.md §1,
+# index-rate-bound at ~40M rows/s in XLA), and signed digits cut both the
+# gather count and the accumulation adds by 37% for one extra negation
+# select per point (negating an affine point is y -> -y).
+C_BITS = 13
+N_BUCKETS = 1 << (C_BITS - 1)   # bucket ids 0..4096 inclusive
+N_WINDOWS = -(-254 // C_BITS)   # 20
 
 _U32 = jnp.uint32
 _I32 = jnp.int32
@@ -144,8 +150,8 @@ def _make_accum_kernel(spec: CurveSpec):
     F = spec.F
     RF, AF, PR = spec.RF, spec.AF, spec.PR
 
-    def kernel(dig_ref, pts_ref, edig_ref, ept_ref, fdig_ref, fpt_ref,
-               acc_ref, adig_ref):
+    def kernel(dig_ref, sgn_ref, pts_ref, edig_ref, ept_ref, fdig_ref,
+               fpt_ref, acc_ref, adig_ref):
         t = pl.program_id(0)
         T = pl.num_programs(0)
 
@@ -159,6 +165,8 @@ def _make_accum_kernel(spec: CurveSpec):
         d = dig_ref[0]                                   # (8, W) uint32
         px = spec.read_felt(lambda r: pts_ref[0, r], 0)
         py = spec.read_felt(lambda r: pts_ref[0, r], RF)
+        # signed digit: bucket is |d|, the sign negates the point (y -> -y)
+        py = F.select(sgn_ref[0] != 0, F.sub(F.zero(py), py), py)
         ax = spec.read_felt(lambda r: acc_ref[r], 0)
         ay = spec.read_felt(lambda r: acc_ref[r], RF)
         az = spec.read_felt(lambda r: acc_ref[r], 2 * RF)
@@ -191,13 +199,15 @@ def _make_accum_kernel(spec: CurveSpec):
     return kernel
 
 
-def _accum_call(spec: CurveSpec, spts, sdig, T, W, interpret):
-    """spts (T, AF, 8, W), sdig (T, 8, W) -> emissions incl. final row."""
+def _accum_call(spec: CurveSpec, spts, sdig, ssgn, T, W, interpret):
+    """spts (T, AF, 8, W), sdig/ssgn (T, 8, W) -> emissions incl. final."""
     AF, PR = spec.AF, spec.PR
     edig, ept, fdig, fpt = pl.pallas_call(
         _make_accum_kernel(spec),
         grid=(T,),
         in_specs=[
+            pl.BlockSpec((1, 8, W), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, W), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, AF, 8, W), lambda t: (t, 0, 0, 0),
@@ -223,7 +233,7 @@ def _accum_call(spec: CurveSpec, spts, sdig, T, W, interpret):
             pltpu.VMEM((8, W), _U32),
         ],
         interpret=interpret,
-    )(sdig, spts)
+    )(sdig, ssgn, spts)
     edig_all = jnp.concatenate([edig, fdig[None]], axis=0)
     ept_all = jnp.concatenate([ept, fpt[None]], axis=0)
     return edig_all, ept_all
@@ -247,15 +257,22 @@ def _shift_mats(S2):
     return n_sub, sub, lane
 
 
-def _make_weighted_kernel(spec: CurveSpec, S2, n_sub):
+def _make_weighted_kernel(spec: CurveSpec, n_sub):
+    """Grid (nwin, chunks): each step weights 1024 compacted entries
+    ((8, 128) lanes, digit*P by double-and-add) and folds them into a VMEM
+    scratch accumulator; the last chunk tree-reduces the (8, 128) lanes.
+    Chunking bounds the per-step VMEM footprint — one whole-window block
+    at Kpad=8192 x PR rows exceeds the scoped-vmem limit for G2."""
     F = spec.F
     PR, RF = spec.PR, spec.RF
 
-    def kernel(dig_ref, pts_ref, sub_ref, lane_ref, out_ref):
-        d = dig_ref[0]                                  # (S2, 128)
+    def kernel(dig_ref, pts_ref, sub_ref, lane_ref, out_ref, acc_ref):
+        c = pl.program_id(1)
+        C = pl.num_programs(1)
+        d = dig_ref[0, 0]                               # (8, 128)
         P = tuple(
-            spec.read_felt(lambda r: pts_ref[0, r], c * RF)
-            for c in range(3)
+            spec.read_felt(lambda r: pts_ref[0, r, 0], cc * RF)
+            for cc in range(3)
         )
         zero = d * 0
         zf = tuple(zero for _ in range(NLIMBS))
@@ -270,59 +287,78 @@ def _make_weighted_kernel(spec: CurveSpec, S2, n_sub):
                 F.select(sel, a, b) for a, b in zip(added, accd)
             )
 
-        acc = jax.lax.fori_loop(0, C_BITS, bit_body, inf)
+        part = jax.lax.fori_loop(0, C_BITS, bit_body, inf)
 
-        # tree-reduce the (S2, 128) lanes of acc down to flat index [0, 0]
-        rows = jax.lax.broadcasted_iota(_I32, (S2, 128), 0)
-        cols = jax.lax.broadcasted_iota(_I32, (S2, 128), 1)
-        flat = rows * 128 + cols
-        total_steps = n_sub + 7
+        @pl.when(c == 0)
+        def _init():
+            rows = (spec.felt_rows(inf[0]) + spec.felt_rows(inf[1])
+                    + spec.felt_rows(inf[2]))
+            for i, row in enumerate(rows):
+                acc_ref[i] = row
 
-        def red_body(j, acc):
-            stride = (S2 * 128) >> (j + 1)
+        prev = tuple(
+            spec.read_felt(lambda r: acc_ref[r], cc * RF) for cc in range(3)
+        )
+        acc = rcb_add(F, F.b3, prev, part)
+        for i, row in enumerate(spec.felt_rows(acc[0])
+                                + spec.felt_rows(acc[1])
+                                + spec.felt_rows(acc[2])):
+            acc_ref[i] = row
 
-            # Mosaic has no u32<->f32 cast; hop through i32 (limbs < 2^16,
-            # so every cast is value-preserving).
-            def shift_sub(x):
-                m = sub_ref[jnp.minimum(j, max(n_sub - 1, 0))]
-                xf = x.astype(_I32).astype(jnp.float32)
-                return jnp.dot(m, xf,
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST
-                               ).astype(_I32).astype(_U32)
+        @pl.when(c == C - 1)
+        def _final():
+            # tree-reduce the (8, 128) lanes down to flat index [0, 0]
+            rows = jax.lax.broadcasted_iota(_I32, (8, 128), 0)
+            cols = jax.lax.broadcasted_iota(_I32, (8, 128), 1)
+            flat = rows * 128 + cols
+            total_steps = n_sub + 7
 
-            def shift_lane(x):
-                m = lane_ref[jnp.clip(j - n_sub, 0, 6)]
-                xf = x.astype(_I32).astype(jnp.float32)
-                return jnp.dot(xf, m,
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST
-                               ).astype(_I32).astype(_U32)
+            def red_body(j, acc):
+                stride = (8 * 128) >> (j + 1)
 
-            use_sub = j < n_sub
+                # Mosaic has no u32<->f32 cast; hop through i32 (limbs
+                # < 2^16, so every cast is value-preserving).
+                def shift_sub(x):
+                    m = sub_ref[jnp.minimum(j, max(n_sub - 1, 0))]
+                    xf = x.astype(_I32).astype(jnp.float32)
+                    return jnp.dot(m, xf,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST
+                                   ).astype(_I32).astype(_U32)
 
-            def shift_felt(felt):
-                if RF == NLIMBS:
+                def shift_lane(x):
+                    m = lane_ref[jnp.clip(j - n_sub, 0, 6)]
+                    xf = x.astype(_I32).astype(jnp.float32)
+                    return jnp.dot(xf, m,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST
+                                   ).astype(_I32).astype(_U32)
+
+                use_sub = j < n_sub
+
+                def shift_felt(felt):
+                    if RF == NLIMBS:
+                        return tuple(
+                            jax.lax.cond(use_sub, shift_sub, shift_lane, cx)
+                            for cx in felt)
                     return tuple(
-                        jax.lax.cond(use_sub, shift_sub, shift_lane, c)
-                        for c in felt)
+                        tuple(jax.lax.cond(use_sub, shift_sub, shift_lane,
+                                           cx)
+                              for cx in comp)
+                        for comp in felt)
+
+                part = tuple(shift_felt(coord) for coord in acc)
+                added = rcb_add(F, F.b3, acc, part)
+                keep = flat < stride
                 return tuple(
-                    tuple(jax.lax.cond(use_sub, shift_sub, shift_lane, c)
-                          for c in comp)
-                    for comp in felt)
+                    F.select(keep, a, b) for a, b in zip(added, acc)
+                )
 
-            part = tuple(shift_felt(coord) for coord in acc)
-            added = rcb_add(F, F.b3, acc, part)
-            keep = flat < stride
-            return tuple(
-                F.select(keep, a, b) for a, b in zip(added, acc)
-            )
-
-        acc = jax.lax.fori_loop(0, total_steps, red_body, acc)
-        all_rows = (spec.felt_rows(acc[0]) + spec.felt_rows(acc[1])
-                    + spec.felt_rows(acc[2]))
-        for i, row in enumerate(all_rows):
-            out_ref[0, i] = jnp.broadcast_to(row[0:1, :], (8, 128))
+            red = jax.lax.fori_loop(0, total_steps, red_body, acc)
+            all_rows = (spec.felt_rows(red[0]) + spec.felt_rows(red[1])
+                        + spec.felt_rows(red[2]))
+            for i, row in enumerate(all_rows):
+                out_ref[0, i] = jnp.broadcast_to(row[0:1, :], (8, 128))
 
     return kernel
 
@@ -330,25 +366,30 @@ def _make_weighted_kernel(spec: CurveSpec, S2, n_sub):
 def _weighted_call(spec: CurveSpec, cdig, cpts, nwin, S2, interpret):
     """cdig (nwin, S2, 128), cpts (nwin, PR, S2, 128) -> (nwin, PR, 8, 128)."""
     PR = spec.PR
-    n_sub, sub, lane = _shift_mats(S2)
+    assert S2 % 8 == 0, "Kpad must be a multiple of 1024"
+    chunks = S2 // 8
+    n_sub, sub, lane = _shift_mats(8)
+    cdig_c = cdig.reshape(nwin, chunks, 8, 128)
+    cpts_c = cpts.reshape(nwin, PR, chunks, 8, 128)
     return pl.pallas_call(
-        _make_weighted_kernel(spec, S2, n_sub),
-        grid=(nwin,),
+        _make_weighted_kernel(spec, n_sub),
+        grid=(nwin, chunks),
         in_specs=[
-            pl.BlockSpec((1, S2, 128), lambda w: (w, 0, 0),
+            pl.BlockSpec((1, 1, 8, 128), lambda w, c: (w, c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PR, S2, 128), lambda w: (w, 0, 0, 0),
+            pl.BlockSpec((1, PR, 1, 8, 128), lambda w, c: (w, 0, c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(sub.shape, lambda w: (0, 0, 0),
+            pl.BlockSpec(sub.shape, lambda w, c: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(lane.shape, lambda w: (0, 0, 0),
+            pl.BlockSpec(lane.shape, lambda w, c: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, PR, 8, 128), lambda w: (w, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, PR, 8, 128), lambda w, c: (w, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nwin, PR, 8, 128), _U32),
+        scratch_shapes=[pltpu.VMEM((PR, 8, 128), _U32)],
         interpret=interpret,
-    )(cdig, cpts, jnp.asarray(sub), jnp.asarray(lane))
+    )(cdig_c, cpts_c, jnp.asarray(sub), jnp.asarray(lane))
 
 
 # -- orchestration --------------------------------------------------------------
@@ -360,23 +401,48 @@ def _msm_fn(T, W, nwin, interpret, curve: str = "g1"):
     AF, PR = spec.AF, spec.PR
     L = 8 * W
     N = T * L
-    Kpad = 128
-    while Kpad < N_BUCKETS + L:
-        Kpad *= 2
+    # emission bound: one run per bucket id (0..N_BUCKETS inclusive) plus
+    # one unfinished run per lane plus the final row; the chunked weighted
+    # kernel needs a multiple of 1024, not a power of two
+    Kpad = -(-(N_BUCKETS + 1 + L + 1) // 1024) * 1024
     S2 = Kpad // 128
 
     def run(pts_rows, sc):
-        def body(_, w):
-            limb = w // 2
-            shift = ((w % 2) * 8).astype(_U32)
-            digits = (jnp.take(sc, limb, axis=1) >> shift) & (N_BUCKETS - 1)
+        # signed windowed recoding, LSB window first: raw 13-bit digit +
+        # carry-in d in [0, 2^13]; d > 2^12 becomes digit d - 2^13 with
+        # carry-out 1, stored as (magnitude 2^13 - d, sign 1). Scalars are
+        # reduced mod r < 2^254, so the top window never carries out.
+        half, full = jnp.uint32(N_BUCKETS), jnp.uint32(2 * N_BUCKETS)
+
+        def recode(carry, w):
+            bitpos = C_BITS * w
+            limb = bitpos // 16
+            sh = bitpos % 16
+            lo = jnp.take(sc, limb, axis=1)
+            hi = jnp.where(limb + 1 < sc.shape[1],
+                           jnp.take(sc, jnp.minimum(limb + 1, sc.shape[1] - 1),
+                                    axis=1), 0)
+            comb = lo | (hi << 16)
+            d = ((comb >> sh) & ((1 << C_BITS) - 1)) + carry
+            neg = d > half
+            mag = jnp.where(neg, full - d, d)
+            return neg.astype(_U32), (mag, neg.astype(_U32))
+
+        _, (mags, sgns) = jax.lax.scan(
+            recode, jnp.zeros((N,), _U32), jnp.arange(nwin, dtype=_U32))
+
+        def body(_, wi):
+            digits = jnp.take(mags, wi, axis=0)
             sdig, order = jax.lax.sort_key_val(
                 digits, jnp.arange(N, dtype=_I32))
             srows = jnp.take(pts_rows, order, axis=0)
+            ssgn = jnp.take(jnp.take(sgns, wi, axis=0), order, axis=0)
             spts = srows.reshape(L, T, AF).transpose(1, 2, 0) \
                         .reshape(T, AF, 8, W)
             sdig_b = sdig.reshape(L, T).T.reshape(T, 8, W)
-            edig, ept = _accum_call(spec, spts, sdig_b, T, W, interpret)
+            ssgn_b = ssgn.reshape(L, T).T.reshape(T, 8, W)
+            edig, ept = _accum_call(spec, spts, sdig_b, ssgn_b, T, W,
+                                    interpret)
             flat_dig = edig.reshape(-1)
             flags = flat_dig > 0
             dest = jnp.where(flags, jnp.cumsum(flags) - 1, Kpad) \

@@ -56,35 +56,57 @@ def main():
     sc = batch_to_limbs([rng.randrange(FR_MOD) for _ in range(n)])
     dr, ds = jnp.asarray(rows), jnp.asarray(sc)
 
-    # stage (a): 32x digit extract + sort + gather + reshape
+    C, NW, NB = PM.C_BITS, PM.N_WINDOWS, PM.N_BUCKETS
+
+    def _recode(sc):
+        half, full_ = jnp.uint32(NB), jnp.uint32(2 * NB)
+
+        def recode(carry, w):
+            bitpos = C * w
+            limb = bitpos // 16
+            sh = bitpos % 16
+            lo = jnp.take(sc, limb, axis=1)
+            hi = jnp.where(limb + 1 < sc.shape[1],
+                           jnp.take(sc, jnp.minimum(limb + 1,
+                                                    sc.shape[1] - 1),
+                                    axis=1), 0)
+            comb = lo | (hi << 16)
+            d = ((comb >> sh) & ((1 << C) - 1)) + carry
+            neg = d > half
+            return neg.astype(jnp.uint32), jnp.where(neg, full_ - d, d)
+
+        _, mags = jax.lax.scan(recode, jnp.zeros((n,), jnp.uint32),
+                               jnp.arange(NW, dtype=jnp.uint32))
+        return mags
+
+    # stage (a): NWx recode + sort + gather
     @jax.jit
     def stage_a(pts_rows, sc):
-        def body(_, w):
-            limb = w // 2
-            shift = ((w % 2) * 8).astype(jnp.uint32)
-            digits = (jnp.take(sc, limb, axis=1) >> shift) & 0xFF
+        mags = _recode(sc)
+
+        def body(_, wi):
+            digits = jnp.take(mags, wi, axis=0)
             sdig, order = jax.lax.sort_key_val(
                 digits, jnp.arange(n, dtype=jnp.int32))
             srows = jnp.take(pts_rows, order, axis=0)
             return None, (srows.sum(dtype=jnp.uint32), sdig.sum())
-        _, out = jax.lax.scan(body, None, jnp.arange(32, dtype=jnp.uint32))
+        _, out = jax.lax.scan(body, None, jnp.arange(NW, dtype=jnp.uint32))
         return out
 
-    # stage (a'): sorts only
+    # stage (a'): recode + sorts only
     @jax.jit
     def stage_sort(sc):
-        def body(_, w):
-            limb = w // 2
-            shift = ((w % 2) * 8).astype(jnp.uint32)
-            digits = (jnp.take(sc, limb, axis=1) >> shift) & 0xFF
+        mags = _recode(sc)
+
+        def body(_, wi):
             sdig, order = jax.lax.sort_key_val(
-                digits, jnp.arange(n, dtype=jnp.int32))
+                jnp.take(mags, wi, axis=0), jnp.arange(n, dtype=jnp.int32))
             return None, (sdig.sum(), order.sum())
-        _, out = jax.lax.scan(body, None, jnp.arange(32, dtype=jnp.uint32))
+        _, out = jax.lax.scan(body, None, jnp.arange(NW, dtype=jnp.uint32))
         return out
 
     # full pipeline for reference
-    full = PM._msm_fn(T, W, 32, False)
+    full = PM._msm_fn(T, W, NW, False)
 
     def bench(name, fn, *args, reps=3):
         force(fn(*args))
@@ -97,8 +119,8 @@ def main():
         return min(ts)
 
     print(f"n=2^{logn} T={T} lanes={lanes} Kpad={Kpad}", flush=True)
-    t_sort = bench("sorts only (32x)", stage_sort, ds)
-    t_a = bench("sort+gather (32x)", stage_a, dr, ds)
+    t_sort = bench("recode+sorts only (NWx)", stage_sort, ds)
+    t_a = bench("recode+sort+gather (NWx)", stage_a, dr, ds)
     t_full = bench("full pipeline", full, dr, ds)
     print(f"accum+compact+weighted (derived): {(t_full-t_a)*1e3:.1f} ms",
           flush=True)
