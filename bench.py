@@ -98,7 +98,7 @@ def bench_msm_g1(on_tpu: bool, platform: str) -> None:
 
     if on_tpu:
         from infimum_tpu.msm.pallas_msm import (
-            _msm_fn, combine_window_points, N_WINDOWS,
+            _msm_fn, combine_window_points,
         )
 
         t = -(-n // lanes)
@@ -107,13 +107,15 @@ def bench_msm_g1(on_tpu: bool, platform: str) -> None:
         rows[:n] = np.tile(base_rows, (-(-n // nbase), 1))[:n]
         sc = np.zeros((npad, NLIMBS), dtype=np.uint32)
         sc[:n] = batch_to_limbs(scalars)
-        fn = _msm_fn(t, lanes // 8, N_WINDOWS, False)
+        fn = _msm_fn(t, lanes // 8, None, False)
         dr, ds = jnp.asarray(rows), jnp.asarray(sc)
         wins = _force(fn(dr, ds))          # compile + warm
         run = lambda: _force(fn(dr, ds))
         decode = combine_window_points
         kernel_name = "pallas"
-        c = 8
+        from infimum_tpu.msm.pallas_msm import G1_SPEC
+
+        c = G1_SPEC.c_bits
     else:
         from infimum_tpu.msm.pippenger import _window_kernel, combine_windows
 
@@ -181,7 +183,7 @@ def bench_g2(on_tpu: bool) -> None:
     from infimum_tpu.ff.bn254 import FR_MOD
     from infimum_tpu.ff.limbs import NLIMBS, batch_to_limbs
     from infimum_tpu.msm.pallas_msm import (
-        _msm_fn, combine_window_points, N_WINDOWS, G2_SPEC,
+        _msm_fn, combine_window_points, G2_SPEC,
     )
 
     reps = int(os.environ.get("BENCH_REPS", "3"))
@@ -199,7 +201,7 @@ def bench_g2(on_tpu: bool) -> None:
     rows[:n] = np.tile(base_rows, (-(-n // nbase), 1))[:n]
     sc = np.zeros((npad, NLIMBS), dtype=np.uint32)
     sc[:n] = batch_to_limbs(scalars)
-    fn = _msm_fn(t, lanes // 8, N_WINDOWS, False, "g2")
+    fn = _msm_fn(t, lanes // 8, None, False, "g2")
     dr, ds = jnp.asarray(rows), jnp.asarray(sc)
     wins = _force(fn(dr, ds))
 

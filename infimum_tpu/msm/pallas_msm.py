@@ -48,14 +48,17 @@ from ..ff.bn254 import FQ_MOD, FR_MOD
 from ..ff.limbs import batch_to_limbs, from_limbs
 from .pallas_field import Fq, Fq2, FieldConsts, NLIMBS, rcb_add, rcb_add_mixed
 
-# Signed-digit windows: width-13 digits recoded to [-4096, 4096], so 20
-# windows cover 254-bit scalars instead of 32 unsigned 8-bit ones — the
-# per-window sorted gather is the measured pipeline bottleneck (PERF.md §1,
-# index-rate-bound at ~40M rows/s in XLA), and signed digits cut both the
-# gather count and the accumulation adds by 37% for one extra negation
-# select per point (negating an affine point is y -> -y).
-C_BITS = 13
-N_BUCKETS = 1 << (C_BITS - 1)   # bucket ids 0..4096 inclusive
+# Signed-digit windows: width-c digits recoded to [-2^(c-1), 2^(c-1)], so
+# ceil(254/c) windows cover 254-bit scalars — the per-window sorted gather
+# is the measured pipeline bottleneck (PERF.md §1, index-rate-bound at
+# ~40M rows/s in XLA), and signed digits cut both the gather count and the
+# accumulation adds for one extra negation select per point (negating an
+# affine point is y -> -y). The width balances accumulation (fewer
+# windows) against the weighted kernel (2^(c-1) buckets per window): G1's
+# cheap adds favor c=13 (20 windows); G2's 3x-cost Fq2 adds in the
+# weighted kernel favor c=10 (26 windows, 16x fewer bucket entries).
+C_BITS = 13                     # G1 (back-compat alias; see CurveSpec)
+N_BUCKETS = 1 << (C_BITS - 1)
 N_WINDOWS = -(-254 // C_BITS)   # 20
 
 _U32 = jnp.uint32
@@ -81,12 +84,15 @@ _FQ2 = Fq2(_FQ, _b3_g2_mont())
 class CurveSpec:
     """Static curve parameters binding the generic kernels to G1 or G2."""
 
-    def __init__(self, name: str, F, rf: int):
+    def __init__(self, name: str, F, rf: int, c_bits: int = C_BITS):
         self.name = name
         self.F = F
         self.RF = rf              # limb rows per field element
         self.AF = 2 * rf          # rows per affine point
         self.PR = 3 * rf          # rows per projective point
+        self.c_bits = c_bits
+        self.n_buckets = 1 << (c_bits - 1)
+        self.n_windows = -(-254 // c_bits)
 
     # felt <-> rows (rows accessed through `get(row_index)`)
     def read_felt(self, get, base):
@@ -138,8 +144,8 @@ class CurveSpec:
         return dev.encode_affine(points).reshape(len(points), self.AF)
 
 
-G1_SPEC = CurveSpec("g1", _FQ, NLIMBS)
-G2_SPEC = CurveSpec("g2", _FQ2, 2 * NLIMBS)
+G1_SPEC = CurveSpec("g1", _FQ, NLIMBS, c_bits=13)
+G2_SPEC = CurveSpec("g2", _FQ2, 2 * NLIMBS, c_bits=10)
 
 _SPECS = {"g1": G1_SPEC, "g2": G2_SPEC}
 
@@ -282,12 +288,12 @@ def _make_weighted_kernel(spec: CurveSpec, n_sub):
         def bit_body(k, acc):
             accd = rcb_add(F, F.b3, acc, acc)
             added = rcb_add(F, F.b3, accd, P)
-            sel = ((d >> (C_BITS - 1 - k)) & 1) == 1
+            sel = ((d >> (spec.c_bits - 1 - k)) & 1) == 1
             return tuple(
                 F.select(sel, a, b) for a, b in zip(added, accd)
             )
 
-        part = jax.lax.fori_loop(0, C_BITS, bit_body, inf)
+        part = jax.lax.fori_loop(0, spec.c_bits, bit_body, inf)
 
         @pl.when(c == 0)
         def _init():
@@ -396,7 +402,8 @@ def _weighted_call(spec: CurveSpec, cdig, cpts, nwin, S2, interpret):
 
 @functools.lru_cache(maxsize=None)
 def _msm_fn(T, W, nwin, interpret, curve: str = "g1"):
-    """Jitted (pts_rows (N, AF), sc (N, 16)) -> (nwin, PR) window-sum limbs."""
+    """Jitted (pts_rows (N, AF), sc (N, 16)) -> (nwin, PR) window-sum limbs.
+    nwin=None uses the curve's own window count (spec.n_windows)."""
     spec = _SPECS[curve]
     AF, PR = spec.AF, spec.PR
     L = 8 * W
@@ -404,7 +411,9 @@ def _msm_fn(T, W, nwin, interpret, curve: str = "g1"):
     # emission bound: one run per bucket id (0..N_BUCKETS inclusive) plus
     # one unfinished run per lane plus the final row; the chunked weighted
     # kernel needs a multiple of 1024, not a power of two
-    Kpad = -(-(N_BUCKETS + 1 + L + 1) // 1024) * 1024
+    if nwin is None:
+        nwin = spec.n_windows
+    Kpad = -(-(spec.n_buckets + 1 + L + 1) // 1024) * 1024
     S2 = Kpad // 128
 
     def run(pts_rows, sc):
@@ -412,10 +421,11 @@ def _msm_fn(T, W, nwin, interpret, curve: str = "g1"):
         # carry-in d in [0, 2^13]; d > 2^12 becomes digit d - 2^13 with
         # carry-out 1, stored as (magnitude 2^13 - d, sign 1). Scalars are
         # reduced mod r < 2^254, so the top window never carries out.
-        half, full = jnp.uint32(N_BUCKETS), jnp.uint32(2 * N_BUCKETS)
+        half = jnp.uint32(spec.n_buckets)
+        full = jnp.uint32(2 * spec.n_buckets)
 
         def recode(carry, w):
-            bitpos = C_BITS * w
+            bitpos = spec.c_bits * w
             limb = bitpos // 16
             sh = bitpos % 16
             lo = jnp.take(sc, limb, axis=1)
@@ -423,7 +433,7 @@ def _msm_fn(T, W, nwin, interpret, curve: str = "g1"):
                            jnp.take(sc, jnp.minimum(limb + 1, sc.shape[1] - 1),
                                     axis=1), 0)
             comb = lo | (hi << 16)
-            d = ((comb >> sh) & ((1 << C_BITS) - 1)) + carry
+            d = ((comb >> sh) & ((1 << spec.c_bits) - 1)) + carry
             neg = d > half
             mag = jnp.where(neg, full - d, d)
             return neg.astype(_U32), (mag, neg.astype(_U32))
@@ -488,7 +498,7 @@ def combine_window_points(win_limbs, curve: str = "g1"):
     total = None
     for wl in reversed(np.asarray(win_limbs)):
         if total is not None:
-            for _ in range(C_BITS):
+            for _ in range(spec.c_bits):
                 total = host_double(total)
         total = host_add(total, _decode_window(spec, wl))
     return total
@@ -507,7 +517,7 @@ def encode_inputs(points, scalars, L, curve: str = "g1"):
     return rows, sc, T
 
 
-def msm_pallas(points, scalars, lanes: int = 1024, nwin: int = N_WINDOWS,
+def msm_pallas(points, scalars, lanes: int = 1024, nwin: int | None = None,
                interpret: bool = False, curve: str = "g1"):
     """MSM of host affine points and int scalars via the Pallas pipeline."""
     if len(points) == 0:
@@ -521,7 +531,7 @@ def msm_pallas(points, scalars, lanes: int = 1024, nwin: int = N_WINDOWS,
 
 
 def msm_pallas_rows_async(rows, sc, lanes: int, curve: str = "g1",
-                          nwin: int = N_WINDOWS, interpret: bool = False):
+                          nwin: int | None = None, interpret: bool = False):
     """Dispatch the MSM pipeline and return the (nwin, PR) window-sum device
     array WITHOUT syncing — callers pipeline several MSMs back-to-back and
     decode with combine_window_points when the results are needed."""
@@ -532,7 +542,7 @@ def msm_pallas_rows_async(rows, sc, lanes: int, curve: str = "g1",
 
 
 def msm_pallas_rows(rows, sc, lanes: int, curve: str = "g1",
-                    nwin: int = N_WINDOWS, interpret: bool = False):
+                    nwin: int | None = None, interpret: bool = False):
     """MSM from pre-encoded inputs: rows (Npad, AF) affine limb rows and
     sc (Npad, 16) scalar limbs, Npad = T*lanes. The hot path for the Groth16
     prover, whose five query point sets are fixed per key — encode once,

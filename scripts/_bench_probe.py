@@ -29,7 +29,7 @@ base_rows = G1_DEV.encode_affine(base).reshape(nbase, 2 * NLIMBS)
 scalars = [rng.randrange(0, FR_MOD) for _ in range(n)]
 el('scalars made')
 
-from infimum_tpu.msm.pallas_msm import _msm_fn, combine_window_points, N_WINDOWS
+from infimum_tpu.msm.pallas_msm import _msm_fn, combine_window_points
 
 t = -(-n // lanes)
 npad = t * lanes
@@ -38,7 +38,7 @@ rows[:n] = np.tile(base_rows, (-(-n // nbase), 1))[:n]
 sc = np.zeros((npad, NLIMBS), dtype=np.uint32)
 sc[:n] = batch_to_limbs(scalars)
 el('host encode done')
-fn = _msm_fn(t, lanes // 8, N_WINDOWS, False)
+fn = _msm_fn(t, lanes // 8, None, False)
 dr, ds = jnp.asarray(rows), jnp.asarray(sc)
 jax.block_until_ready((dr, ds))
 el(f'transfer done ({rows.nbytes/1e6:.0f}+{sc.nbytes/1e6:.0f} MB)')

@@ -56,7 +56,8 @@ def main():
     sc = batch_to_limbs([rng.randrange(FR_MOD) for _ in range(n)])
     dr, ds = jnp.asarray(rows), jnp.asarray(sc)
 
-    C, NW, NB = PM.C_BITS, PM.N_WINDOWS, PM.N_BUCKETS
+    C, NW, NB = (PM.G1_SPEC.c_bits, PM.G1_SPEC.n_windows,
+                 PM.G1_SPEC.n_buckets)
 
     def _recode(sc):
         half, full_ = jnp.uint32(NB), jnp.uint32(2 * NB)
@@ -106,7 +107,7 @@ def main():
         return out
 
     # full pipeline for reference
-    full = PM._msm_fn(T, W, NW, False)
+    full = PM._msm_fn(T, W, None, False)
 
     def bench(name, fn, *args, reps=3):
         force(fn(*args))
