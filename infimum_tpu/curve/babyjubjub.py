@@ -120,5 +120,78 @@ def is_on_curve(p) -> bool:
     return (A * x2 + y2) % P == (1 + D * x2 % P * y2) % P
 
 
+# -- point (de)compression (reference circuits/utils/pointbits.circom) --------
+
+SIGN_THRESHOLD = (P - 1) // 2   # CompConstant((p-1)/2): sign(x) = x > this
+
+
+def fr_sqrt(n: int) -> int | None:
+    """Canonical square root mod P (Tonelli-Shanks; P-1 = 2^28 * odd),
+    returned in the 'non-negative' half [0, (P-1)/2] like the circom
+    sqrt() helper (pointbits.circom:27-70), or None if no root exists."""
+    n %= P
+    if n == 0:
+        return 0
+    if pow(n, (P - 1) // 2, P) != 1:
+        return None
+    s, q = 0, P - 1
+    while q % 2 == 0:
+        s += 1
+        q //= 2
+    z = 5                       # Fr's standard non-residue generator
+    c = pow(z, q, P)
+    t = pow(n, q, P)
+    r = pow(n, (q + 1) // 2, P)
+    m = s
+    while t != 1:
+        t2 = t
+        i = 0
+        while t2 != 1:
+            t2 = t2 * t2 % P
+            i += 1
+        b = pow(c, 1 << (m - i - 1), P)
+        m = i
+        c = b * b % P
+        t = t * c % P
+        r = r * b % P
+    return r if r <= SIGN_THRESHOLD else P - r
+
+
+def pack_point(p: tuple[int, int]) -> int:
+    """Point2Bits_Strict (pointbits.circom:137-164): 256-bit word with
+    bits 0..253 = y, bit 254 = 0, bit 255 = sign(x) = x > (p-1)/2."""
+    x, y = p
+    assert 0 <= x < P and 0 <= y < P
+    sign = 1 if x > SIGN_THRESHOLD else 0
+    return y | (sign << 255)
+
+
+def unpack_point(v: int) -> tuple[int, int]:
+    """Bits2Point_Strict (pointbits.circom:78-126): recover (x, y) from the
+    packed word; raises ValueError on a non-canonical y, a set bit 254, or
+    a y with no curve point."""
+    if v >> 256:
+        raise ValueError("packed point exceeds 256 bits")
+    if (v >> 254) & 1:
+        raise ValueError("bit 254 must be zero")
+    y = v & ((1 << 254) - 1)
+    if y >= P:
+        raise ValueError("non-canonical y")
+    sign = (v >> 255) & 1
+    y2 = y * y % P
+    den = (A - D * y2) % P
+    if den == 0:
+        raise ValueError("no affine x for this y")
+    x = fr_sqrt((1 - y2) * pow(den, -1, P) % P)
+    if x is None:
+        raise ValueError("y is not on the curve")
+    if sign:
+        x = (P - x) % P
+    if (1 if x > SIGN_THRESHOLD else 0) != sign:
+        raise ValueError("sign bit inconsistent with recovered x")
+    assert is_on_curve((x, y))
+    return (x, y)
+
+
 def in_subgroup(p) -> bool:
     return is_on_curve(p) and mul(p, SUB_ORDER) == IDENTITY

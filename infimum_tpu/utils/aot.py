@@ -38,7 +38,7 @@ _KERNEL_PKGS = ("ff", "msm", "ntt", "hash", "curve", "groth16", "parallel",
 # don't force a full re-export cycle (hash/grain.py stays IN — its Poseidon
 # constants are baked into the device kernels)
 _HOST_ONLY = {"r1cs.py", "pkcache.py", "blake512.py", "profiling.py",
-              "babyjubjub.py", "cipher.py", "poseidon_host.py"}
+              "babyjubjub.py", "cipher.py", "poseidon_host.py", "bytes.py"}
 
 
 @functools.lru_cache(maxsize=1)
