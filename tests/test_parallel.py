@@ -100,6 +100,42 @@ def test_msm_sharded_matches_host(mesh):
     assert got == msm_host(points, scalars)
 
 
+def test_permute_reduction_matches_gather(mesh):
+    """The ppermute recursive-halving window reduction must produce the
+    same result as the all_gather + local-tree form it replaces (its
+    comm volume is log2(D) x one window payload vs (D-1) payloads;
+    parallel/msm.py reduce= modes)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from infimum_tpu.curve.proj import G1_DEV
+    from infimum_tpu.msm.pippenger import combine_windows, encode_msm_inputs
+    from infimum_tpu.parallel.msm import (
+        make_sharded_window_sums, reduction_comm_bytes,
+    )
+
+    rng = random.Random(11)
+    n = 8 * 2
+    points = [g1_mul(G1_GEN, rng.randrange(1, 10_000)) for _ in range(n)]
+    scalars = [rng.randrange(FR_MOD) for _ in range(n)]
+    pts, sc = encode_msm_inputs(points, scalars, G1_DEV, n)
+    sh = NamedSharding(mesh, P("dp"))
+    dp = jax.device_put(jnp.asarray(pts), sh)
+    ds = jax.device_put(jnp.asarray(sc), sh)
+    results = {}
+    for mode in ("gather", "permute"):
+        fn = jax.jit(make_sharded_window_sums(mesh, "dp", G1_DEV, c=4,
+                                              lanes=2, reduce=mode))
+        results[mode] = combine_windows(G1_DEV, fn(dp, ds), 4)
+    assert results["gather"] == results["permute"] == msm_host(points,
+                                                               scalars)
+    comm = reduction_comm_bytes(8, G1_DEV, 4)
+    assert comm["mode"] == "permute" and comm["rounds"] == 3
+    assert comm["per_device_bytes"] < reduction_comm_bytes(
+        8, G1_DEV, 4, reduce="gather")["per_device_bytes"]
+
+
 def test_parallel_witness_matches_sequential():
     """witness/parallel.py: forked per-batch assignments == sequential ones
     (SURVEY.md §2.5 parallel witness generator; the hint closures cross the
